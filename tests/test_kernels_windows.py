@@ -1,0 +1,146 @@
+"""Window kernels vs pandas groupby oracle (FIXTURES.md F1/F5)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from turboxsl_ray.kernels import windows as W
+from turboxsl_ray.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def sorted_df():
+    tbl = synth_transcripts(n_convs=60, mean_turns=12, seed=7)
+    df = tbl.to_pandas()
+    df = df.sort_values(["conv_id", "ts", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+    return df
+
+
+def _starts(df):
+    return W.segment_starts(df["conv_id"].to_numpy())
+
+
+def test_segment_starts_matches_groupby(sorted_df):
+    starts = _starts(sorted_df)
+    assert starts.sum() == sorted_df["conv_id"].nunique()
+    # first row of every group is a start
+    firsts = sorted_df.groupby("conv_id", sort=False).head(1).index.to_numpy()
+    assert np.array_equal(np.flatnonzero(starts), firsts)
+
+
+def test_segment_starts_from_arrow_equals_numpy(sorted_df):
+    arr = pa.array(sorted_df["conv_id"].to_numpy(), type=pa.string())
+    np.testing.assert_array_equal(
+        W.segment_starts_from_arrow(arr), _starts(sorted_df)
+    )
+
+
+@pytest.mark.parametrize("k", [1, 2, 5])
+def test_lag_matches_pandas_shift(sorted_df, k):
+    starts = _starts(sorted_df)
+    idx = W.lag_indices(starts, k)
+    got = W.take_with_null(sorted_df["value"].to_numpy(), idx).to_pandas()
+    want = sorted_df.groupby("conv_id", sort=False)["value"].shift(k)
+    pd.testing.assert_series_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_names=False
+    )
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_lead_matches_pandas_shift(sorted_df, k):
+    starts = _starts(sorted_df)
+    idx = W.lead_indices(starts, k)
+    got = W.take_with_null(sorted_df["value"].to_numpy(), idx).to_pandas()
+    want = sorted_df.groupby("conv_id", sort=False)["value"].shift(-k)
+    pd.testing.assert_series_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_names=False
+    )
+
+
+def test_gap_matches_pandas_diff(sorted_df):
+    starts = _starts(sorted_df)
+    ts_us = sorted_df["ts"].astype("int64").to_numpy()
+    gaps, valid = W.gap_us(starts, ts_us)
+    want = sorted_df.groupby("conv_id", sort=False)["ts"].diff().dt.total_seconds() * 1e6
+    got = np.where(valid, gaps.astype(float), np.nan)
+    np.testing.assert_allclose(got, want.to_numpy(), equal_nan=True)
+
+
+def test_ffill_matches_pandas_ffill(sorted_df):
+    starts = _starts(sorted_df)
+    tool = sorted_df["tool"]
+    valid = tool.notna().to_numpy()
+    idx = W.ffill_indices(starts, valid)
+    got = W.take_with_null(pa.array(tool, type=pa.string()), idx).to_pandas()
+    want = sorted_df.groupby("conv_id", sort=False)["tool"].ffill()
+    pd.testing.assert_series_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_names=False
+    )
+
+
+def test_session_index_matches_pandas(sorted_df):
+    thr = 15 * 60 * 1_000_000
+    starts = _starts(sorted_df)
+    ts_us = sorted_df["ts"].astype("int64").to_numpy()
+    new_s, sess = W.session_index(starts, ts_us, thr)
+    g = sorted_df.groupby("conv_id", sort=False)
+    gap = g["ts"].diff().dt.total_seconds() * 1e6
+    want_new = gap.isna() | (gap > thr)
+    want_sess = want_new.groupby(sorted_df["conv_id"], sort=False).cumsum() - 1
+    np.testing.assert_array_equal(new_s, want_new.to_numpy())
+    np.testing.assert_array_equal(sess, want_sess.to_numpy())
+
+
+def test_session_gap_exactly_threshold_stays(sorted_df):
+    """gap == threshold must NOT break the session (F5 edge)."""
+    ts = np.array([0, 100, 200], dtype=np.int64)
+    starts = np.array([True, False, False])
+    _, sess = W.session_index(starts, ts, gap_threshold_us=100)
+    np.testing.assert_array_equal(sess, [0, 0, 0])
+    _, sess2 = W.session_index(starts, ts, gap_threshold_us=99)
+    np.testing.assert_array_equal(sess2, [0, 1, 2])
+
+
+@pytest.mark.parametrize("k", [1, 3, 7])
+def test_rolling_sum_mean_count_match_pandas(sorted_df, k):
+    starts = _starts(sorted_df)
+    v = sorted_df["value"].to_numpy()
+    g = sorted_df.groupby("conv_id", sort=False)["value"]
+    # cumsum-based windows differ from pandas' per-window re-sum by
+    # O(n*eps) — the engine's allclose bar is rtol=1e-9 (FIXTURES.md)
+    np.testing.assert_allclose(
+        W.rolling_sum(starts, v, k),
+        g.rolling(k, min_periods=1).sum().reset_index(drop=True).to_numpy(),
+        rtol=1e-9,
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        W.rolling_mean(starts, v, k),
+        g.rolling(k, min_periods=1).mean().reset_index(drop=True).to_numpy(),
+        rtol=1e-9,
+        atol=1e-9,
+    )
+    np.testing.assert_array_equal(
+        W.rolling_count(starts, ~np.isnan(v), k),
+        g.rolling(k, min_periods=1).count().reset_index(drop=True).to_numpy().astype(int),
+    )
+
+
+def test_single_turn_convs_all_null_lags():
+    tbl = synth_transcripts(n_convs=10, mean_turns=1, seed=3)
+    df = tbl.to_pandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    sizes = df.groupby("conv_id").size()
+    singles = sizes[sizes == 1].index
+    assert len(singles) > 0
+    starts = W.segment_starts(df["conv_id"].to_numpy())
+    lag = W.take_with_null(df["value"].to_numpy(), W.lag_indices(starts, 1)).to_pandas()
+    assert lag[df["conv_id"].isin(singles)].isna().all()
+
+
+def test_empty_input():
+    starts = W.segment_starts(np.array([], dtype=object))
+    assert len(W.lag_indices(starts, 1)) == 0
+    assert len(W.ffill_indices(starts, np.array([], dtype=bool))) == 0

@@ -1,0 +1,47 @@
+"""Ray Data DataContext helpers.
+
+The engine's partitioning spine is ``Dataset.repartition(keys=[...])``,
+which requires the hash-shuffle strategy. We never call ``ray.init``
+here — the driver owns the session (see __ray_entry__.py contract).
+"""
+
+from __future__ import annotations
+
+
+def ensure_hash_shuffle() -> None:
+    """Switch the current DataContext to hash shuffling.
+
+    Key-based ``repartition(keys=...)`` (the engine's one big shuffle —
+    conv_id co-partitioning, SURVEY.md §4.3.1) is only supported under
+    ``ShuffleStrategy.HASH_SHUFFLE``. Idempotent; safe to call per
+    pipeline build.
+    """
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+def tune_context(
+    *,
+    target_max_block_size: int | None = None,
+    preserve_order: bool | None = None,
+    quiet: bool = True,
+) -> None:
+    """Apply engine-recommended DataContext knobs.
+
+    At 100 TB scale block size governs shuffle fan-out and object-store
+    pressure; at sandbox scale the defaults are fine — we only quiet
+    the progress bars for tests/bench.
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    if target_max_block_size is not None:
+        ctx.target_max_block_size = target_max_block_size
+    if preserve_order is not None:
+        ctx.execution_options.preserve_order = preserve_order
+    if quiet:
+        ctx.enable_progress_bars = False

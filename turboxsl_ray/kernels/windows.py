@@ -1,0 +1,249 @@
+"""Segment-vectorized window kernels.
+
+A *segment* is the contiguous run of rows belonging to one
+conversation in a partition sorted by ``(conv_id, ts, turn_idx)``.
+These kernels re-express turboxsl's sibling-axis navigation
+(``preceding-sibling``/``following-sibling``,
+/root/reference/src/xpath.c:359-428) and ``position()`` windows
+(xpath.c:178-188) as O(n) vectorized index arithmetic over numpy
+arrays instead of pointer-chasing a node tree.
+
+Point-in-time discipline: every *feature* kernel here reads only rows
+with index <= i within the segment (``lag``, ``ffill``, ``rolling``,
+``gap``, ``session``) — the analog of the reference's past-only
+``preceding-sibling`` axis.  ``lead`` is the explicit, opt-in
+forward-looking analog of ``following-sibling`` (label/eval columns
+only, never features).
+
+Conventions
+-----------
+- index arrays use ``-1`` as the "no such row" sentinel; use
+  :func:`take_with_null` to gather values with nulls at sentinels.
+- a session *breaks* when ``gap > threshold`` (strictly greater), per
+  FIXTURES.md F5; a gap exactly equal to the threshold stays in the
+  same session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "segment_starts_from_arrow",
+    "segment_starts",
+    "segment_first_index",
+    "segment_last_index",
+    "cumcount",
+    "lag_indices",
+    "lead_indices",
+    "take_with_null",
+    "ffill_indices",
+    "gap_us",
+    "session_index",
+    "rolling_sum",
+    "rolling_count",
+    "rolling_mean",
+]
+
+
+def segment_starts(codes: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where a new segment (conversation) starts.
+
+    ``codes`` is any equality-comparable numpy array already grouped so
+    that equal values are contiguous (the post-repartition sort
+    guarantees this).
+    """
+    n = len(codes)
+    starts = np.empty(n, dtype=bool)
+    if n == 0:
+        return starts
+    starts[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=starts[1:])
+    return starts
+
+
+def segment_starts_from_arrow(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Segment starts from an Arrow (chunked) array without a Python loop.
+
+    Compares ``arr[1:]`` to ``arr[:-1]`` with a vectorized Arrow kernel
+    (works for string conv_ids with zero copy of the character data).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    starts = np.empty(n, dtype=bool)
+    if n == 0:
+        return starts
+    starts[0] = True
+    if n > 1:
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        # nulls compare as null -> treat as boundary (defensive; conv_id
+        # should never be null)
+        neq = pc.fill_null(neq, True)
+        starts[1:] = neq.to_numpy(zero_copy_only=False)
+    return starts
+
+
+def segment_first_index(starts: np.ndarray) -> np.ndarray:
+    """For each row i, the index of its segment's first row."""
+    n = len(starts)
+    idx = np.arange(n, dtype=np.int64)
+    return np.maximum.accumulate(np.where(starts, idx, 0))
+
+
+def segment_last_index(starts: np.ndarray) -> np.ndarray:
+    """For each row i, the index of its segment's last row."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.empty(n, dtype=bool)
+    ends[:-1] = starts[1:]
+    ends[-1] = True
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.where(ends, idx, n)[::-1]
+    return np.minimum.accumulate(rev)[::-1]
+
+
+def cumcount(starts: np.ndarray) -> np.ndarray:
+    """0-based position of each row within its segment.
+
+    The analog of the reference's 1-based per-parent ``position``
+    (ltr_xsl.h:62, renumbered per selection at xpath.c:114-134) —
+    0-based here; ``turn_idx`` plays the persistent-id role.
+    """
+    n = len(starts)
+    return np.arange(n, dtype=np.int64) - segment_first_index(starts)
+
+
+def lag_indices(starts: np.ndarray, k: int) -> np.ndarray:
+    """Index of the row k positions earlier in the same segment, else -1.
+
+    ``preceding-sibling::*[k]`` (xpath.c:359-372).
+    """
+    if k < 1:
+        raise ValueError("lag k must be >= 1")
+    n = len(starts)
+    idx = np.arange(n, dtype=np.int64) - k
+    valid = cumcount(starts) >= k
+    return np.where(valid, idx, -1)
+
+
+def lead_indices(starts: np.ndarray, k: int) -> np.ndarray:
+    """Index of the row k positions later in the same segment, else -1.
+
+    ``following-sibling::*[k]`` (xpath.c:394-407). Forward-looking:
+    for labels/eval only, never point-in-time features.
+    """
+    if k < 1:
+        raise ValueError("lead k must be >= 1")
+    n = len(starts)
+    idx = np.arange(n, dtype=np.int64) + k
+    valid = idx <= segment_last_index(starts)
+    return np.where(valid, idx, -1)
+
+
+def take_with_null(values: pa.Array | pa.ChunkedArray | np.ndarray, indices: np.ndarray) -> pa.Array:
+    """Gather ``values[indices]`` producing null where index == -1."""
+    idx_arr = pa.array(indices, type=pa.int64(), mask=indices < 0)
+    if isinstance(values, np.ndarray):
+        values = pa.array(values)
+    out = pc.take(values, idx_arr)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def ffill_indices(starts: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """For each row i: index of the latest row j <= i in the same
+    segment with ``valid[j]``, else -1.
+
+    This single kernel powers both *backfill* (forward-fill of the last
+    non-null ``tool``/``role`` value at ts' <= ts) and the distributed
+    *as-of join* (union two sorted sides, forward-fill the right side's
+    row index — see stages/asof_join.py). Past-only by construction:
+    the analog of ``preceding-sibling::x[1]`` (xpath.c:359-372 with the
+    positional filter at xpath.c:178-188).
+    """
+    n = len(starts)
+    idx = np.arange(n, dtype=np.int64)
+    last_valid = np.maximum.accumulate(np.where(valid, idx, -1))
+    seg_first = segment_first_index(starts)
+    return np.where(last_valid >= seg_first, last_valid, -1)
+
+
+def gap_us(starts: np.ndarray, ts_us: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(gap_microseconds, valid_mask): ts[i] - ts[i-1] within segment.
+
+    First row of each segment has no gap (valid=False, gap value 0).
+    """
+    n = len(ts_us)
+    gaps = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        gaps[1:] = ts_us[1:] - ts_us[:-1]
+    valid = ~starts
+    gaps[~valid] = 0
+    return gaps, valid
+
+
+def session_index(starts: np.ndarray, ts_us: np.ndarray, gap_threshold_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """(new_session bool, session_idx int64): gap-based sessionization.
+
+    A new session starts at each segment start and wherever the gap to
+    the previous row is STRICTLY greater than ``gap_threshold_us``
+    (FIXTURES.md F5: gap == threshold stays in-session).
+    ``session_idx`` is the 0-based session ordinal within the
+    conversation.
+    """
+    gaps, gvalid = gap_us(starts, ts_us)
+    new_session = starts | (gvalid & (gaps > gap_threshold_us))
+    cs = np.cumsum(new_session)
+    seg_first = segment_first_index(starts)
+    session_idx = cs - cs[seg_first]  # 0 at each segment's first row
+    return new_session, session_idx.astype(np.int64)
+
+
+def _padded_cumsum(values: np.ndarray) -> np.ndarray:
+    out = np.empty(len(values) + 1, dtype=np.float64)
+    out[0] = 0.0
+    np.cumsum(values, out=out[1:])
+    return out
+
+
+def _window_start(starts: np.ndarray, k: int) -> np.ndarray:
+    """First index of the trailing-k-rows window clamped to the segment."""
+    n = len(starts)
+    idx = np.arange(n, dtype=np.int64)
+    return np.maximum(idx - (k - 1), segment_first_index(starts))
+
+
+def rolling_sum(starts: np.ndarray, values: np.ndarray, k: int) -> np.ndarray:
+    """Trailing sum over the last k rows (inclusive) within the segment.
+
+    NaNs in ``values`` are treated as 0 (use rolling_count of non-nan
+    for a mean). O(n) via cumulative sums.
+    """
+    v = np.nan_to_num(values.astype(np.float64, copy=False), nan=0.0)
+    cs = _padded_cumsum(v)
+    lo = _window_start(starts, k)
+    idx = np.arange(len(v), dtype=np.int64)
+    return cs[idx + 1] - cs[lo]
+
+
+def rolling_count(starts: np.ndarray, valid: np.ndarray, k: int) -> np.ndarray:
+    """Trailing count of ``valid`` rows over the last k rows within segment."""
+    cs = _padded_cumsum(valid.astype(np.float64))
+    lo = _window_start(starts, k)
+    idx = np.arange(len(valid), dtype=np.int64)
+    return (cs[idx + 1] - cs[lo]).astype(np.int64)
+
+
+def rolling_mean(starts: np.ndarray, values: np.ndarray, k: int) -> np.ndarray:
+    """Trailing mean over the last k rows within segment (NaN-aware)."""
+    v = values.astype(np.float64, copy=False)
+    ok = ~np.isnan(v)
+    s = rolling_sum(starts, np.where(ok, v, 0.0), k)
+    c = rolling_count(starts, ok, k)
+    with np.errstate(invalid="ignore"):
+        return np.where(c > 0, s / np.maximum(c, 1), np.nan)
