@@ -1,0 +1,188 @@
+"""Flagship pipeline end-to-end: pandas oracle equality, salting
+equivalence (F4), temporal leakage (F3), checkpoint resume (F6)."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from turboxsl_ray.pipelines.flagship import FlagshipConfig, run_flagship
+from turboxsl_ray.sources.transcripts import synth_asof_side, synth_transcripts
+
+GAP = 15 * 60 * 1_000_000
+
+
+def _read_out(out_dir: str) -> pd.DataFrame:
+    files = sorted(glob.glob(os.path.join(out_dir, "part=*.parquet")))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+
+def _oracle(left_tbl: pa.Table, right_tbl: pa.Table | None) -> pd.DataFrame:
+    ldf = left_tbl.to_pandas()
+    if right_tbl is not None:
+        ldf = ldf.sort_values("ts", kind="stable").reset_index(drop=True)
+        rdf = right_tbl.to_pandas().sort_values("ts", kind="stable").reset_index(drop=True)
+        ldf = pd.merge_asof(ldf, rdf, by="conv_id", on="ts", direction="backward")
+    df = ldf.sort_values(["conv_id", "ts", "turn_idx"], kind="stable").reset_index(drop=True)
+    g = df.groupby("conv_id", sort=False)
+    df["lag_value_1"] = g["value"].shift(1)
+    df["lag_value_2"] = g["value"].shift(2)
+    df["lag_role_1"] = g["role"].shift(1)
+    df["lead_value_1"] = g["value"].shift(-1)
+    df["gap_us"] = (g["ts"].diff().dt.total_seconds() * 1e6).round()
+    df["roll_mean_10_value"] = (
+        g["value"].rolling(10, min_periods=1).mean().reset_index(drop=True).to_numpy()
+    )
+    df["tool_ffill"] = g["tool"].ffill()
+    new_s = df["gap_us"].isna() | (df["gap_us"] > GAP)
+    df["session_idx"] = new_s.groupby(df["conv_id"], sort=False).cumsum() - 1
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+
+def _compare(out: pd.DataFrame, want: pd.DataFrame):
+    assert len(out) == len(want)
+    for col in ["lag_value_1", "lag_value_2", "lead_value_1", "roll_mean_10_value",
+                "feature_a", "gap_us"]:
+        if col in want.columns:
+            np.testing.assert_allclose(
+                out[col].astype(float).to_numpy(),
+                want[col].astype(float).to_numpy(),
+                rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=col,
+            )
+    np.testing.assert_array_equal(
+        out["session_idx"].to_numpy(), want["session_idx"].to_numpy()
+    )
+    for col in ["lag_role_1", "tool_ffill"]:
+        assert out[col].fillna("∅").tolist() == want[col].fillna("∅").tolist(), col
+    assert out["text"].tolist() == want["text"].tolist(), "text byte-equality violated"
+
+
+@pytest.fixture(scope="module")
+def small_tables():
+    left = synth_transcripts(n_convs=40, mean_turns=15, seed=31)
+    right = synth_asof_side(left, seed=32, rows_per_conv=5)
+    return left, right
+
+
+def test_flagship_matches_oracle(ray_session, small_tables, tmp_path_factory):
+    import ray.data as rd
+
+    left_tbl, right_tbl = small_tables
+    out_dir = str(tmp_path_factory.mktemp("flag"))
+    cfg = FlagshipConfig(num_partitions=8, salt_threshold_rows=10**9)
+    m = run_flagship(
+        rd.from_arrow(left_tbl).repartition(5),
+        rd.from_arrow(right_tbl).repartition(3),
+        out_dir, cfg,
+    )
+    assert m["rows_written"] == left_tbl.num_rows
+    assert m["salted_convs"] == 0
+    out = _read_out(out_dir)
+    want = _oracle(left_tbl, right_tbl)
+    _compare(out, want)
+    # lineage records cover all partitions and rows
+    total = sum(r["row_count"] for r in m["manifest"])
+    assert total == left_tbl.num_rows
+    assert all(r["max_ts_watermark_us"] is not None for r in m["manifest"])
+
+
+def test_flagship_salted_equals_unsalted(ray_session, tmp_path_factory):
+    """F4: one mega conversation; salting on vs off must be identical."""
+    import ray.data as rd
+
+    left_tbl = synth_transcripts(
+        n_convs=25, mean_turns=12, seed=41, mega_frac=0.5, max_turns=400
+    )
+    right_tbl = synth_asof_side(left_tbl, seed=42, rows_per_conv=4)
+
+    out_a = str(tmp_path_factory.mktemp("unsalted"))
+    out_b = str(tmp_path_factory.mktemp("salted"))
+    base = dict(num_partitions=8)
+    m_a = run_flagship(
+        rd.from_arrow(left_tbl), rd.from_arrow(right_tbl), out_a,
+        FlagshipConfig(**base, salt_threshold_rows=10**9),
+    )
+    m_b = run_flagship(
+        rd.from_arrow(left_tbl), rd.from_arrow(right_tbl), out_b,
+        FlagshipConfig(**base, salt_threshold_rows=100, salt_bucket_rows=150),
+    )
+    assert m_a["salted_convs"] == 0
+    assert m_b["salted_convs"] >= 1
+    a, b = _read_out(out_a), _read_out(out_b)
+    assert len(a) == len(b) == left_tbl.num_rows  # replica dedup exact
+    # every feature identical
+    for col in a.columns:
+        if col in ("part_id",):
+            continue
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f":
+            np.testing.assert_allclose(
+                av.to_numpy(), bv.to_numpy(), rtol=1e-9, atol=1e-9,
+                equal_nan=True, err_msg=col,
+            )
+        else:
+            assert av.fillna("∅").tolist() == bv.fillna("∅").tolist(), col
+    # and both equal the pandas oracle
+    _compare(b, _oracle(left_tbl, right_tbl))
+
+
+def test_no_temporal_leakage(ray_session, tmp_path_factory):
+    """F3: poison every right-side row that is in the left row's future;
+    no poison may surface in any feature."""
+    import ray.data as rd
+
+    left_tbl = synth_transcripts(n_convs=20, mean_turns=10, seed=51)
+    right_tbl = synth_asof_side(left_tbl, seed=52, rows_per_conv=6)
+    # make feature_a strictly equal to its own ts (us) -> a feature value
+    # from the future would be > the row's own ts
+    rts = right_tbl["ts"].cast(pa.int64())
+    right_tbl = right_tbl.set_column(
+        right_tbl.column_names.index("feature_a"),
+        "feature_a",
+        rts.cast(pa.float64()),
+    )
+    out_dir = str(tmp_path_factory.mktemp("leak"))
+    run_flagship(
+        rd.from_arrow(left_tbl), rd.from_arrow(right_tbl), out_dir,
+        FlagshipConfig(num_partitions=6, salt_threshold_rows=10**9),
+    )
+    out = _read_out(out_dir)
+    got = out["feature_a"].to_numpy()
+    own_ts = out["ts"].astype("int64").to_numpy().astype(float)
+    ok = np.isnan(got) | (got <= own_ts)
+    assert ok.all(), "feature read a right-side row with ts' > ts (leakage)"
+
+
+def test_resume_skips_done_and_is_identical(ray_session, small_tables, tmp_path_factory):
+    """F6: kill after k partitions; resume completes; bytes identical."""
+    import ray.data as rd
+
+    left_tbl, right_tbl = small_tables
+    cfg = FlagshipConfig(num_partitions=8, salt_threshold_rows=10**9)
+
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    run_flagship(rd.from_arrow(left_tbl), rd.from_arrow(right_tbl), full_dir, cfg)
+
+    part_dir = str(tmp_path_factory.mktemp("partial"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_flagship(
+            rd.from_arrow(left_tbl), rd.from_arrow(right_tbl), part_dir, cfg,
+            fail_after_parts=3,
+        )
+    from turboxsl_ray.state import lineage
+
+    done_before = lineage.load_done(part_dir)
+    assert 0 < len(done_before) < cfg.num_partitions
+
+    m = run_flagship(rd.from_arrow(left_tbl), rd.from_arrow(right_tbl), part_dir, cfg)
+    assert m["partitions_skipped"] == len(done_before)
+    # written partitions in resume run exclude the done ones
+    assert m["partitions_written"] <= cfg.num_partitions - len(done_before) + 1
+
+    a, b = _read_out(full_dir), _read_out(part_dir)
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,29 @@
+"""Deterministic vectorized hashing for partitioning and salting.
+
+Python's builtin ``hash`` is per-process salted — useless for
+resumable partitioning. We use pandas' stable 64-bit row hasher
+(deterministic across processes/runs for a fixed hash_key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from turboxsl_ray.kernels.arrays import as_array
+
+
+def stable_hash64(values: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash of a string/int column (vectorized)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        ser = as_array(values).to_pandas()
+    else:
+        ser = pd.Series(values)
+    return pd.util.hash_pandas_object(ser, index=False).to_numpy()
+
+
+def partition_ids(conv_ids, num_partitions: int) -> np.ndarray:
+    """Stable partition id in [0, num_partitions) per row — the
+    engine's lineage/resume unit (deterministic across runs)."""
+    return (stable_hash64(conv_ids) % np.uint64(num_partitions)).astype(np.int64)

@@ -1,0 +1,470 @@
+"""The flagship pipeline: point-in-time feature engineering over
+transcripts — as-of join + lag/lead + gap sessionization + backfill —
+with Zipf-skew salting, per-partition lineage, and checkpoint resume.
+
+Physical plan (ONE all-to-all exchange)::
+
+    read left (+right) ──align/salt/part_id──┐
+                                             ├─ union ─ filter(done)
+    read right ──replicate-to-buckets────────┘        │
+                                     HASH SHUFFLE by part_id
+                                              │
+               one fused block fn per partition:
+                 sort (conv,salt,ts,src,turn) → as-of ffill merge →
+                 window features → session offset fix → drop replicas
+                 → write part=NNNNN.parquet + lineage manifest
+                                              │
+                               tiny summary rows (one per partition)
+
+Everything after the shuffle happens inside a single ``map_batches``
+call on whole partition blocks, so no intermediate re-blocking can
+split a conversation.
+
+Skew: conversations over ``salt_threshold_rows`` are split into
+turn-range buckets (stages/salting.py) with backward replicas
+(``salt_lookback`` turns, for lag/gap/rolling/ffill) and forward
+replicas (``salt_lookahead`` turns, for leads); right-side feature
+rows of salted conversations are replicated to every bucket (the
+right side is small — the broadcast-small-side trade). Global
+``session_idx`` over salted conversations is restored by adding a
+per-(conv, salt) offset computed in a tiny projected pre-pass.
+
+Resume: completed partition ids (state/lineage.py manifests) are
+filtered out right after the read — a resumed run never shuffles or
+recomputes finished partitions, and partition files are deterministic
+and idempotent under retry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from turboxsl_ray.kernels import windows as W
+from turboxsl_ray.kernels.arrays import as_array
+from turboxsl_ray.kernels.hashing import stable_hash64
+from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
+from turboxsl_ray.stages.salting import OWNED_COL, SALT_COL, conv_counts
+from turboxsl_ray.state import lineage
+
+SRC_COL = "__src"
+PART_COL = "part_id"
+_SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+@dataclass(frozen=True)
+class FlagshipConfig:
+    num_partitions: int = 32
+    session_gap_us: int = 15 * 60 * 1_000_000
+    lags: tuple = (("value", 1), ("value", 2), ("role", 1))
+    leads: tuple = (("value", 1),)
+    rolling: tuple = (("value", 10, "mean"),)
+    ffill_cols: tuple = ("tool",)
+    salt_threshold_rows: int = 100_000
+    salt_bucket_rows: int = 0  # 0 -> same as threshold
+    salt_lookback: int = 64
+    salt_lookahead: int = 8
+
+    def fingerprint(self) -> str:
+        return hashlib.md5(repr(self).encode()).hexdigest()[:12]
+
+    @property
+    def bucket_rows(self) -> int:
+        return self.salt_bucket_rows or self.salt_threshold_rows
+
+    def max_lag(self) -> int:
+        ks = [k for _, k in self.lags] + [k for _, k, _ in self.rolling]
+        return max(ks, default=1)
+
+    def max_lead(self) -> int:
+        return max((k for _, k in self.leads), default=0)
+
+
+def _part_ids(conv_hash: np.ndarray, salt: np.ndarray, num_partitions: int) -> np.ndarray:
+    mixed = conv_hash + salt.astype(np.uint64) * _SALT_MIX
+    return (mixed % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _salt_left(tbl: pa.Table, plan: dict[str, int], lookback: int, lookahead: int, P: int) -> pa.Table:
+    """salt + owned + part_id for transcript rows, with backward
+    (lag context) and forward (lead context) boundary replicas."""
+    n = tbl.num_rows
+    conv = as_array(tbl["conv_id"]).to_pandas().to_numpy()
+    turn = as_array(tbl["turn_idx"]).to_numpy().astype(np.int64)
+    h = stable_hash64(tbl["conv_id"])
+
+    bucket_size = np.zeros(n, dtype=np.int64)
+    if plan:
+        import pandas as pd
+
+        bucket_size = pd.Series(conv).map(plan).fillna(0).to_numpy(np.int64)
+    salted = bucket_size > 0
+    salt = np.zeros(n, dtype=np.int64)
+    pos = np.zeros(n, dtype=np.int64)
+    if salted.any():
+        salt[salted] = turn[salted] // bucket_size[salted]
+        pos[salted] = turn[salted] % bucket_size[salted]
+
+    pieces = []
+
+    def emit(mask: np.ndarray, salt_vals: np.ndarray, owned: bool):
+        sub = tbl.filter(pa.array(mask)) if not mask.all() else tbl
+        sub = sub.append_column(SALT_COL, pa.array(salt_vals, type=pa.int32()))
+        sub = sub.append_column(
+            OWNED_COL, pa.array(np.full(len(salt_vals), owned, dtype=bool))
+        )
+        pid = _part_ids(h[mask], salt_vals.astype(np.int64), P)
+        sub = sub.append_column(PART_COL, pa.array(pid, type=pa.int64()))
+        pieces.append(sub)
+
+    emit(np.ones(n, dtype=bool), salt.astype(np.int32), True)
+    if salted.any():
+        back = salted & (pos >= (bucket_size - lookback))
+        if back.any():
+            emit(back, (salt[back] + 1).astype(np.int32), False)
+        if lookahead > 0:
+            fwd = salted & (pos < lookahead) & (salt > 0)
+            if fwd.any():
+                emit(fwd, (salt[fwd] - 1).astype(np.int32), False)
+    return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
+
+def _salt_right(tbl: pa.Table, plan_buckets: dict[str, int], P: int) -> pa.Table:
+    """salt + part_id for feature rows; rows of salted conversations
+    are replicated to every bucket (right side is small)."""
+    n = tbl.num_rows
+    conv = as_array(tbl["conv_id"]).to_pandas().to_numpy()
+    h = stable_hash64(tbl["conv_id"])
+    if plan_buckets:
+        import pandas as pd
+
+        nb = pd.Series(conv).map(plan_buckets).fillna(1).to_numpy(np.int64)
+    else:
+        nb = np.ones(n, dtype=np.int64)
+    reps = np.repeat(np.arange(n, dtype=np.int64), nb)
+    offsets = np.repeat(np.cumsum(nb) - nb, nb)
+    salt = (np.arange(len(reps), dtype=np.int64) - offsets).astype(np.int32)
+    out = tbl.take(pa.array(reps)) if (nb > 1).any() else tbl
+    out = out.append_column(SALT_COL, pa.array(salt, type=pa.int32()))
+    out = out.append_column(OWNED_COL, pa.array(np.zeros(len(reps), dtype=bool)))
+    pid = _part_ids(h[reps], salt.astype(np.int64), P)
+    out = out.append_column(PART_COL, pa.array(pid, type=pa.int64()))
+    return out
+
+
+def _align(tbl: pa.Table, out_names: list[str], out_types: dict, src: int) -> pa.Table:
+    n = tbl.num_rows
+    cols = []
+    for name in out_names:
+        if name == SRC_COL:
+            cols.append(pa.array(np.full(n, src, dtype=np.int8)))
+        elif name in tbl.column_names:
+            cols.append(tbl[name].cast(out_types[name]))
+        else:
+            cols.append(pa.nulls(n, type=out_types[name]))
+    return pa.table(dict(zip(out_names, cols)))
+
+
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", s)
+    if not isinstance(base, pa.Schema):
+        base = pa.schema(list(zip(s.names, s.types)))
+    return base
+
+
+def session_offsets(
+    left_salted: Dataset,
+    plan: dict[str, int],
+    session_gap_us: int,
+    num_partitions: int,
+) -> dict[tuple[str, int], int]:
+    """Exclusive prefix sums of per-(conv, salt) owned new-session
+    counts — the tiny pre-pass that makes bucket-local session ordinals
+    globally exact. Only salted conversations flow (projected to 4
+    columns)."""
+    convs = set(plan)
+    if not convs:
+        return {}
+
+    def project(tbl: pa.Table) -> pa.Table:
+        conv = as_array(tbl["conv_id"]).to_pandas()
+        mask = conv.isin(convs).to_numpy()
+        return tbl.filter(pa.array(mask)).select(
+            ["conv_id", SALT_COL, OWNED_COL, "ts", "turn_idx"]
+        )
+
+    small = map_partitions(left_salted, project)
+    parts = partition_by_conv(small, num_partitions, keys=["conv_id", SALT_COL])
+
+    def per_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 SALT_COL: pa.array([], pa.int32()),
+                 "n_sessions": pa.array([], pa.int64())}
+            )
+        tbl = tbl.sort_by(
+            [("conv_id", "ascending"), (SALT_COL, "ascending"),
+             ("ts", "ascending"), ("turn_idx", "ascending")]
+        )
+        starts = W.segment_starts_from_arrow(tbl["conv_id"])
+        starts |= W.segment_starts_from_arrow(tbl[SALT_COL])
+        ts_us = as_array(tbl["ts"].cast(pa.int64())).to_numpy()
+        new_s, _ = W.session_index(starts, ts_us, session_gap_us)
+        owned = as_array(tbl[OWNED_COL]).to_numpy(zero_copy_only=False)
+        x = new_s & owned
+        # per-segment sums
+        seg_id = np.cumsum(starts) - 1
+        sums = np.bincount(seg_id, weights=x).astype(np.int64)
+        first_rows = np.flatnonzero(starts)
+        return pa.table(
+            {
+                "conv_id": as_array(tbl["conv_id"]).take(pa.array(first_rows)),
+                SALT_COL: as_array(tbl[SALT_COL]).take(pa.array(first_rows)),
+                "n_sessions": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    rows = map_partitions(parts, per_block).take_all()
+    per_conv: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_conv.setdefault(r["conv_id"], []).append((r[SALT_COL], r["n_sessions"]))
+    offsets: dict[tuple[str, int], int] = {}
+    for conv, pairs in per_conv.items():
+        acc = 0
+        for salt, cnt in sorted(pairs):
+            offsets[(conv, salt)] = acc
+            acc += int(cnt)
+    return offsets
+
+
+def run_flagship(
+    left: Dataset,
+    right: Dataset | None,
+    out_dir: str,
+    cfg: FlagshipConfig = FlagshipConfig(),
+    *,
+    input_id: str = "",
+    resume: bool = True,
+    fail_after_parts: int | None = None,
+) -> dict:
+    """Run the flagship pipeline; returns run metrics + manifest.
+
+    ``fail_after_parts`` is a test hook: raise after N partitions have
+    been written, to exercise checkpoint resume (FIXTURES.md F6).
+    """
+    P = cfg.num_partitions
+    lineage.prepare_output_dir(out_dir)
+    done = lineage.load_done(out_dir) if resume else set()
+
+    # --- skew pre-pass: which conversations need salting?
+    counts = conv_counts(left, min_total=cfg.salt_threshold_rows)
+    plan = {c: cfg.bucket_rows for c in counts}
+    plan_buckets = {
+        c: int(-(-counts[c] // cfg.bucket_rows)) for c in counts
+    }
+
+    lookback = max(cfg.salt_lookback, cfg.max_lag())
+    lookahead = max(cfg.salt_lookahead, cfg.max_lead())
+
+    left_salted = map_partitions(
+        left, lambda t: _salt_left(t, plan, lookback, lookahead, P)
+    )
+
+    offsets = session_offsets(left_salted, plan, cfg.session_gap_us, P)
+
+    # --- align schemas and union the two sides
+    lschema = _arrow_schema(left)
+    lnames = list(lschema.names)
+    rvalue_names: list[str] = []
+    out_types: dict[str, pa.DataType] = {n: lschema.field(n).type for n in lnames}
+    if right is not None:
+        rschema = _arrow_schema(right)
+        rvalue_names = [n for n in rschema.names if n not in ("conv_id", "ts")]
+        for n in rvalue_names:
+            out_types[n] = rschema.field(n).type
+    for extra, t in ((SALT_COL, pa.int32()), (OWNED_COL, pa.bool_()),
+                     (PART_COL, pa.int64()), (SRC_COL, pa.int8())):
+        out_types[extra] = t
+    out_names = lnames + rvalue_names + [SALT_COL, OWNED_COL, PART_COL, SRC_COL]
+
+    combined = left_salted.map_batches(
+        lambda t: _align(t, out_names, out_types, 1),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if right is not None:
+        right_salted = map_partitions(
+            right, lambda t: _salt_right(t, plan_buckets, P)
+        )
+        ral = right_salted.map_batches(
+            lambda t: _align(t, out_names, out_types, 0),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        combined = combined.union(ral)
+
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(tbl: pa.Table) -> pa.Table:
+            pid = as_array(tbl[PART_COL]).to_numpy()
+            keep = ~np.isin(pid, done_arr)
+            return tbl.filter(pa.array(keep))
+
+        combined = map_partitions(combined, drop_done)
+
+    shuffled = partition_by_conv(combined, P, keys=[PART_COL])
+
+    fp = cfg.fingerprint()
+    session_gap = cfg.session_gap_us
+    lags, leads, rolling, ffills = cfg.lags, cfg.leads, cfg.rolling, cfg.ffill_cols
+
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {PART_COL: pa.array([], pa.int64()),
+             "rows_written": pa.array([], pa.int64()),
+             "convs": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        tbl = tbl.sort_by(
+            [("conv_id", "ascending"), (SALT_COL, "ascending"),
+             ("ts", "ascending"), (SRC_COL, "ascending"),
+             ("turn_idx", "ascending")]
+        )
+        starts = W.segment_starts_from_arrow(tbl["conv_id"])
+        starts |= W.segment_starts_from_arrow(tbl[SALT_COL])
+        src = as_array(tbl[SRC_COL]).to_numpy(zero_copy_only=False)
+        is_right = src == 0
+
+        # as-of merge: forward-fill latest right row index within segment
+        gathered: dict[str, pa.Array] = {}
+        if rvalue_names:
+            ffi = W.ffill_indices(starts, is_right)
+            for name in rvalue_names:
+                gathered[name] = W.take_with_null(as_array(tbl[name]), ffi)
+
+        left_mask = ~is_right
+        lm = pa.array(left_mask)
+        cols = {n: as_array(tbl[n]).filter(lm) for n in lnames}
+        for n in rvalue_names:
+            cols[n] = gathered[n].filter(lm)
+        cols[SALT_COL] = as_array(tbl[SALT_COL]).filter(lm)
+        cols[OWNED_COL] = as_array(tbl[OWNED_COL]).filter(lm)
+        cols[PART_COL] = as_array(tbl[PART_COL]).filter(lm)
+        lt = pa.table(cols)
+        if lt.num_rows == 0:
+            return empty
+
+        # window features over left rows (still sorted: filter preserves order)
+        starts = W.segment_starts_from_arrow(lt["conv_id"])
+        starts |= W.segment_starts_from_arrow(lt[SALT_COL])
+        ts_us = as_array(lt["ts"].cast(pa.int64())).to_numpy()
+        feat: dict[str, pa.Array] = {}
+        for col, k in lags:
+            feat[f"lag_{col}_{k}"] = W.take_with_null(
+                as_array(lt[col]), W.lag_indices(starts, k)
+            )
+        for col, k in leads:
+            feat[f"lead_{col}_{k}"] = W.take_with_null(
+                as_array(lt[col]), W.lead_indices(starts, k)
+            )
+        gaps, gvalid = W.gap_us(starts, ts_us)
+        feat["gap_us"] = pa.array(gaps, type=pa.int64(), mask=~gvalid)
+        for col, k, agg in rolling:
+            v = as_array(lt[col]).to_numpy(zero_copy_only=False).astype(np.float64)
+            if agg == "sum":
+                feat[f"roll_sum_{k}_{col}"] = pa.array(W.rolling_sum(starts, v, k))
+            elif agg == "mean":
+                feat[f"roll_mean_{k}_{col}"] = pa.array(W.rolling_mean(starts, v, k))
+            elif agg == "count":
+                feat[f"roll_count_{k}_{col}"] = pa.array(
+                    W.rolling_count(starts, ~np.isnan(v), k)
+                )
+        for col in ffills:
+            arr = as_array(lt[col])
+            valid = np.asarray(pc_is_valid(arr))
+            feat[f"{col}_ffill"] = W.take_with_null(
+                arr, W.ffill_indices(starts, valid)
+            )
+
+        # sessionization with salt-bucket offset correction
+        owned = as_array(lt[OWNED_COL]).to_numpy(zero_copy_only=False)
+        new_s = starts | (gvalid & (gaps > session_gap))
+        x = (new_s & owned).astype(np.int64)
+        csp = np.concatenate(([0], np.cumsum(x)))
+        seg_first = W.segment_first_index(starts)
+        local = csp[np.arange(len(x)) + 1] - csp[seg_first]
+        if offsets:
+            conv_np = as_array(lt["conv_id"]).to_pandas().to_numpy()
+            salt_np = as_array(lt[SALT_COL]).to_numpy(zero_copy_only=False)
+            off = np.zeros(len(x), dtype=np.int64)
+            need = salt_np > 0
+            seg_rows = np.flatnonzero(starts)
+            # per-row offset via dict lookup only at segment firsts
+            seg_off = np.array(
+                [offsets.get((conv_np[i], int(salt_np[i])), 0) for i in seg_rows],
+                dtype=np.int64,
+            )
+            off = seg_off[np.cumsum(starts) - 1]
+            feat["session_idx"] = pa.array(off + local - 1, type=pa.int64())
+        else:
+            feat["session_idx"] = pa.array(local - 1, type=pa.int64())
+        feat["session_new"] = pa.array(new_s & owned)
+
+        for name, arr in feat.items():
+            lt = lt.append_column(name, arr)
+
+        # drop replicas + helper cols; write one file per part id
+        lt = lt.filter(lt[OWNED_COL]).drop_columns([SALT_COL, OWNED_COL])
+        pids = as_array(lt[PART_COL]).to_numpy()
+        summary_rows = []
+        import pyarrow.compute as pc
+
+        for pid in np.unique(pids):
+            sub = lt.filter(pa.array(pids == pid))
+            rec = lineage.write_partition(
+                out_dir, int(pid), sub, input_id=input_id, config_fingerprint=fp
+            )
+            summary_rows.append(
+                {PART_COL: int(pid), "rows_written": rec["row_count"],
+                 "convs": rec["conv_count"]}
+            )
+        return pa.table(
+            {PART_COL: pa.array([r[PART_COL] for r in summary_rows], pa.int64()),
+             "rows_written": pa.array(
+                 [r["rows_written"] for r in summary_rows], pa.int64()),
+             "convs": pa.array([r["convs"] for r in summary_rows], pa.int64())}
+        )
+
+    summary_ds = map_partitions(shuffled, block_fn)
+    if fail_after_parts is not None:
+        # test hook: consume lazily and abort after N partition summaries
+        seen = 0
+        for batch in summary_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            seen += batch.num_rows
+            if seen >= fail_after_parts:
+                raise RuntimeError(f"injected failure after {seen} partitions")
+        summaries = []  # pragma: no cover
+    else:
+        summaries = summary_ds.take_all()
+
+    return {
+        "partitions_written": len(summaries),
+        "partitions_skipped": len(done),
+        "rows_written": int(sum(r["rows_written"] for r in summaries)),
+        "salted_convs": len(plan),
+        "config_fingerprint": fp,
+        "manifest": lineage.load_manifest(out_dir),
+    }
+
+
+def pc_is_valid(arr: pa.Array) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return pc.is_valid(arr).to_numpy(zero_copy_only=False)

@@ -53,15 +53,28 @@ class WindowSpec:
         return out
 
 
-def make_window_fn(spec: WindowSpec, presorted: bool = False) -> Callable[[pa.Table], pa.Table]:
-    """Compile a WindowSpec to a per-partition Arrow->Arrow function."""
+def make_window_fn(
+    spec: WindowSpec,
+    presorted: bool = False,
+    segment_keys: tuple = ("conv_id",),
+) -> Callable[[pa.Table], pa.Table]:
+    """Compile a WindowSpec to a per-partition Arrow->Arrow function.
+
+    ``segment_keys`` is ``("conv_id", "salt")`` for salted (skew-split)
+    runs — each salt bucket is its own window segment, fed boundary
+    replicas by stages/salting.py.
+    """
 
     def fn(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return tbl
         if not presorted:
-            tbl = sort_block(tbl)
-        starts = W.segment_starts_from_arrow(tbl["conv_id"])
+            tbl = sort_block(
+                tbl, keys=[*segment_keys, "ts", "turn_idx"]
+            )
+        starts = W.segment_starts_from_arrow(tbl[segment_keys[0]])
+        for key in segment_keys[1:]:
+            starts |= W.segment_starts_from_arrow(tbl[key])
         ts_us = tbl["ts"].cast(pa.int64()).combine_chunks().to_numpy()
 
         cols: dict[str, pa.Array] = {}

@@ -1,0 +1,115 @@
+"""Per-partition lineage records + resumable partitioned output.
+
+Layout under ``out_dir``::
+
+    part=00042.parquet          # one file per stable partition id
+    _manifest/part-00042.json   # written AFTER the data file (atomic
+                                # rename) -> presence == completed
+
+A manifest record carries: partition id, row count, conversation
+count, ts watermark (min/max), output file, input identifier, and the
+engine config fingerprint. ``load_done`` returns completed partition
+ids; the pipeline filters those rows out right after the read, so a
+resumed run never shuffles or recomputes finished partitions
+(north_rule "resumable from checkpoint without recomputation").
+
+Writes are idempotent: a retried/duplicate partition task overwrites
+the same deterministic filename, so retries cannot double rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"part-{part_id:05d}.json")
+
+
+def data_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, f"part={part_id:05d}.parquet")
+
+
+def prepare_output_dir(out_dir: str) -> None:
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+
+
+def write_partition(
+    out_dir: str,
+    part_id: int,
+    tbl: pa.Table,
+    *,
+    input_id: str = "",
+    config_fingerprint: str = "",
+    extra: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Write one partition's rows + its lineage record (atomically:
+    data file first, then manifest via tmp+rename). Returns the record.
+    """
+    dpath = data_path(out_dir, part_id)
+    tmp = dpath + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, dpath)
+
+    ts_col = tbl["ts"].cast(pa.int64()) if "ts" in tbl.column_names else None
+    import pyarrow.compute as pc
+
+    record = {
+        "part_id": part_id,
+        "row_count": tbl.num_rows,
+        "conv_count": (
+            pc.count_distinct(tbl["conv_id"]).as_py()
+            if "conv_id" in tbl.column_names
+            else None
+        ),
+        "min_ts_us": pc.min(ts_col).as_py() if ts_col is not None and tbl.num_rows else None,
+        "max_ts_watermark_us": pc.max(ts_col).as_py() if ts_col is not None and tbl.num_rows else None,
+        "output_file": dpath,
+        "input_id": input_id,
+        "config_fingerprint": config_fingerprint,
+        **(extra or {}),
+    }
+    mpath = _manifest_path(out_dir, part_id)
+    fd, tmpm = tempfile.mkstemp(dir=os.path.dirname(mpath), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(record, f)
+    os.replace(tmpm, mpath)
+    return record
+
+
+def load_done(out_dir: str) -> set[int]:
+    """Partition ids with a manifest record AND an intact data file."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    done: set[int] = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                rec = json.load(f)
+            if os.path.exists(rec["output_file"]):
+                done.add(int(rec["part_id"]))
+        except (json.JSONDecodeError, KeyError, OSError):
+            continue  # torn record -> treat as not done, recompute
+    return done
+
+
+def load_manifest(out_dir: str) -> list[dict[str, Any]]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    out = []
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith("part-") and name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    out.append(json.load(f))
+    return out
