@@ -1,0 +1,334 @@
+"""Oracle-checkable point-in-time feature queries over transcripts.
+
+The driver's testdata has no transcripts table, so each query first
+*derives* one deterministically from ``events`` (conv_id = user_id,
+turn order = (ts, event_id)) — the Ray derivation here and the SQL
+derivation in :data:`DERIVE_SQL` are contractually identical.
+
+Physical shape of every query (the 100 TB-honest plan):
+
+    read events (columns pruned) → ONE hash shuffle by conv →
+    one fused block fn: sort → derive → window math → (tiny) output
+
+All window/as-of math is partition-local after the single exchange;
+nothing re-blocks between the shuffle and the fused block fn, so a
+conversation can never straddle workers. The kernels are the same
+segment-vectorized O(n) routines the flagship pipeline uses
+(kernels/windows.py, kernels/asof.py) — the reference's sibling-axis
+navigation re-expressed (/root/reference/src/xpath.c:359-428).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+import ray.data
+
+from turboxsl_ray.kernels import windows as W
+from turboxsl_ray.kernels.arrays import as_array
+from turboxsl_ray.kernels.asof import asof_backward_indices
+from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
+
+SESSION_GAP_US = 15 * 60 * 1_000_000
+NUM_PARTITIONS = 16
+TOOL_ROLES = ("click", "purchase")
+
+def _reduceat(v: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """np.add.reduceat that tolerates an empty block."""
+    if len(idx) == 0:
+        return np.empty(0, dtype=np.float64 if v.dtype.kind == "f" else v.dtype)
+    return np.add.reduceat(v, idx)
+
+
+DERIVE_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+           event_type AS role,
+           props AS text,
+           CASE WHEN event_type IN ('click', 'purchase') THEN event_type END AS tool,
+           ts,
+           value
+    FROM events
+"""
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def derive_block(tbl: pa.Table) -> pa.Table:
+    """events rows (one whole-conv block) → sorted transcript rows.
+
+    MUST stay semantically identical to :data:`DERIVE_SQL`.
+    """
+    tbl = tbl.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+    )
+    starts = W.segment_starts_from_arrow(tbl["user_id"])
+    turn_idx = W.cumcount(starts).astype(np.int32)
+    role = as_array(tbl["event_type"])
+    tool = pc.if_else(
+        pc.is_in(role, value_set=pa.array(list(TOOL_ROLES))),
+        role,
+        pa.scalar(None, pa.string()),
+    )
+    cols: dict[str, pa.Array] = {
+        "conv_id": as_array(pc.cast(tbl["user_id"], pa.string())),
+        "turn_idx": pa.array(turn_idx, type=pa.int32()),
+        "role": role,
+    }
+    if "props" in tbl.column_names:
+        cols["text"] = as_array(tbl["props"])
+    cols["tool"] = tool
+    cols["ts"] = as_array(tbl["ts"])
+    if "value" in tbl.column_names:
+        cols["value"] = as_array(tbl["value"])
+    return pa.table(cols)
+
+
+def transcripts_pipeline(
+    sf_dir: str,
+    block_fn: Callable[[pa.Table], pa.Table] | None = None,
+    columns: list[str] | None = None,
+) -> Dataset:
+    """events → one conv-hash shuffle → fused derive(+feature) blocks."""
+    ds = read_events(sf_dir, columns=columns)
+    parts = partition_by_conv(ds, NUM_PARTITIONS, keys=["user_id"])
+    if block_fn is None:
+        return map_partitions(parts, derive_block)
+    return map_partitions(parts, lambda t: block_fn(derive_block(t)))
+
+
+# --------------------------------------------------------------------------
+# queries — each returns a Dataset; SQL oracles live in registry.py
+# --------------------------------------------------------------------------
+
+def q_transcripts(sf_dir: str) -> Dataset:
+    """The derivation itself (per-turn text byte-equality surface)."""
+    return transcripts_pipeline(sf_dir)
+
+
+def q_lag_lead(sf_dir: str) -> Dataset:
+    """lag/lead features: preceding/following-sibling analogs."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        out = {
+            "conv_id": as_array(t["conv_id"]),
+            "turn_idx": as_array(t["turn_idx"]),
+            "value": as_array(t["value"]),
+            "lag_value_1": W.take_with_null(as_array(t["value"]), W.lag_indices(starts, 1)),
+            "lag_value_2": W.take_with_null(as_array(t["value"]), W.lag_indices(starts, 2)),
+            "lead_value_1": W.take_with_null(as_array(t["value"]), W.lead_indices(starts, 1)),
+            "lag_role_1": W.take_with_null(as_array(t["role"]), W.lag_indices(starts, 1)),
+        }
+        return pa.table(out)
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def _session_arrays(t: pa.Table):
+    starts = W.segment_starts_from_arrow(t["conv_id"])
+    ts_us = as_array(t["ts"].cast(pa.int64())).to_numpy()
+    gaps, gvalid = W.gap_us(starts, ts_us)
+    new_s, session_idx = W.session_index(starts, ts_us, SESSION_GAP_US)
+    return starts, ts_us, gaps, gvalid, new_s, session_idx
+
+
+def q_sessionize(sf_dir: str) -> Dataset:
+    """Gap-based sessionization (idle threshold 15 min; gap == threshold
+    stays in-session)."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        _starts, _ts, gaps, gvalid, new_s, session_idx = _session_arrays(t)
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]),
+                "turn_idx": as_array(t["turn_idx"]),
+                "gap_us": pa.array(gaps, type=pa.int64(), mask=~gvalid),
+                "session_new": pa.array(new_s),
+                "session_idx": pa.array(session_idx, type=pa.int64()),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+
+def q_backfill(sf_dir: str) -> Dataset:
+    """Forward-fill of the last non-null tool at ts' <= ts (backfill)."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        tool = as_array(t["tool"])
+        valid = pc.is_valid(tool).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]),
+                "turn_idx": as_array(t["turn_idx"]),
+                "tool": tool,
+                "tool_ffill": W.take_with_null(tool, W.ffill_indices(starts, valid)),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+
+def q_rolling(sf_dir: str) -> Dataset:
+    """Trailing 10-row windowed sum/mean within conversation.
+
+    Computed in integer cents (value has 2-decimal precision) so the
+    result is EXACT — summation-order and rounding-rule differences
+    vs the SQL oracle cannot bite (both sides divide the identical
+    integer by the identical double)."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.round(v * 100.0).astype(np.int64)
+        csum = W.rolling_sum(starts, cents.astype(np.float64), 10)
+        cnt = W.rolling_count(starts, np.ones(len(v), dtype=bool), 10)
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]),
+                "turn_idx": as_array(t["turn_idx"]),
+                "roll_sum_10": pa.array(csum / 100.0),
+                "roll_mean_10": pa.array(csum / (cnt * 100.0)),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def q_asof_join(sf_dir: str) -> Dataset:
+    """Point-in-time as-of join: for every turn, the latest purchase
+    (ts' <= ts) of the same conversation — backward, leak-free.
+
+    Both sides come out of the same conv-partitioned block, so the
+    merge is partition-local (the distributed case with a separate
+    right table is exercised by the flagship pipeline / tests)."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        conv = as_array(t["conv_id"])
+        starts = W.segment_starts_from_arrow(conv)
+        conv_codes = np.cumsum(starts) - 1
+        ts_us = as_array(t["ts"].cast(pa.int64())).to_numpy()
+        role = as_array(t["role"])
+        is_p = pc.equal(role, "purchase").to_numpy(zero_copy_only=False)
+        val = as_array(t["value"]).to_numpy(zero_copy_only=False)
+
+        # right side: purchases aggregated per (conv, ts) — rows are
+        # sorted, so equal (conv, ts) runs are contiguous: reduceat sum
+        p_codes = conv_codes[is_p]
+        p_ts = ts_us[is_p]
+        p_val = val[is_p]
+        if len(p_ts):
+            rstart = np.concatenate(
+                ([True], (p_codes[1:] != p_codes[:-1]) | (p_ts[1:] != p_ts[:-1]))
+            )
+            ridx = np.flatnonzero(rstart)
+            r_codes = p_codes[ridx]
+            r_ts = p_ts[ridx]
+            r_val = np.round(_reduceat(p_val, ridx), 3)
+        else:
+            r_codes = np.empty(0, dtype=np.int64)
+            r_ts = np.empty(0, dtype=np.int64)
+            r_val = np.empty(0, dtype=np.float64)
+
+        idx = asof_backward_indices(conv_codes, ts_us, r_codes, r_ts)
+        hit = idx >= 0
+        safe = np.where(hit, idx, 0)
+        pv = np.where(hit, r_val[safe] if len(r_val) else 0.0, np.nan)
+        pts = np.where(hit, r_ts[safe] if len(r_ts) else 0, 0)
+        return pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": as_array(t["turn_idx"]),
+                "ts": as_array(t["ts"]),
+                "purchase_ts": pa.array(pts, type=pa.int64(), mask=~hit).cast(
+                    pa.timestamp("us")
+                ),
+                "purchase_value": pa.array(pv, type=pa.float64(), mask=~hit),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def q_session_stats(sf_dir: str) -> Dataset:
+    """Per-(conversation, session) rollup — sessions never straddle
+    blocks, so this is a block-local aggregate (no second shuffle)."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts, ts_us, _g, _gv, new_s, session_idx = _session_arrays(t)
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(new_s)
+        n = len(ts_us)
+        sizes = np.diff(np.append(bounds, n))
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]).take(pa.array(bounds)),
+                "session_idx": pa.array(session_idx[bounds], type=pa.int64()),
+                "n_turns": pa.array(sizes, type=pa.int64()),
+                "ts_min": as_array(t["ts"]).take(pa.array(bounds)),
+                "ts_max": as_array(t["ts"]).take(
+                    pa.array(np.append(bounds[1:], n) - 1)
+                ),
+                "sum_value": pa.array(
+                    np.round(_reduceat(v, bounds), 3), type=pa.float64()
+                ),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def q_conv_stats(sf_dir: str) -> Dataset:
+    """Per-conversation rollup: the conv→turn hierarchy aggregate
+    (ancestor-axis analog, SURVEY.md §2.3)."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts, ts_us, _g, _gv, new_s, session_idx = _session_arrays(t)
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False)
+        tool_valid = pc.is_valid(as_array(t["tool"])).to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(starts)
+        n = len(ts_us)
+        sizes = np.diff(np.append(bounds, n))
+        last = np.append(bounds[1:], n) - 1
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]).take(pa.array(bounds)),
+                "n_turns": pa.array(sizes, type=pa.int64()),
+                "n_sessions": pa.array(session_idx[last] + 1, type=pa.int64()),
+                "ts_min": as_array(t["ts"]).take(pa.array(bounds)),
+                "ts_max": as_array(t["ts"]).take(pa.array(last)),
+                "sum_value": pa.array(
+                    np.round(_reduceat(v, bounds), 3), type=pa.float64()
+                ),
+                "n_tool_turns": pa.array(
+                    _reduceat(tool_valid.astype(np.int64), bounds),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )

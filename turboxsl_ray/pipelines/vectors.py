@@ -1,0 +1,215 @@
+"""Similarity search + embedding near-dup over ``embeddings``.
+
+- ``q_ann_topk``: brute-force cosine top-k — the baseline ANN: the
+  query matrix is broadcast once (``ray.put``), each block does one
+  numpy matmul and emits only its LOCAL top-k per query, the driver
+  merges the tiny partials. At 100 TB this plan moves O(blocks × q × k)
+  rows, never the embeddings.
+- ``q_embedding_pairs``: all-pairs cosine near-dup (i < j) against a
+  broadcast normalized matrix — exact, matches the SQL oracle. The
+  sub-quadratic scale path is ``q_ann_lsh_buckets`` (random-hyperplane
+  LSH), which buckets vectors so only same-bucket pairs are compared.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+from turboxsl_ray.kernels.arrays import as_array
+from turboxsl_ray.stages.aggregate import broadcast
+from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
+
+ANN_K = 5
+ANN_NUM_QUERIES = 8
+PAIR_THRESHOLD = 0.35
+LSH_PLANES = 12
+
+
+def read_embeddings(sf_dir: str) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) from an embeddings block, zero-copy-ish."""
+    ids = as_array(t["vec_id"]).to_numpy()
+    emb = as_array(t["embedding"])
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(len(ids), 1)
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc_
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pc_.less(t["vec_id"], n_queries))
+    return _block_matrix(t)
+
+
+def q_ann_topk(sf_dir: str, k: int = ANN_K, n_queries: int = ANN_NUM_QUERIES) -> pd.DataFrame:
+    """Top-k cosine neighbors (excluding self) for each query vector."""
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ref = broadcast({"qids": qids, "q": qnorm})
+
+    ds = read_embeddings(sf_dir)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        ids, x = _block_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = side["q"] @ xn.T  # (nq, block)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(side["qids"]):
+            s = sims[qi].copy()
+            s[ids == qid] = -np.inf  # exclude self
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            keep = np.isfinite(s[top])
+            out_q.append(np.full(keep.sum(), qid, dtype=np.int64))
+            out_v.append(ids[top][keep])
+            out_s.append(s[top][keep])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = map_partitions(ds, local_topk).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(columns=["qid", "vec_id", "sim"])
+    # tiny final merge: per query, global top-k (ties → smaller vec_id)
+    partials = partials.sort_values(
+        ["qid", "sim", "vec_id"], ascending=[True, False, True], kind="stable"
+    )
+    out = partials.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    out["sim"] = out["sim"].round(4)
+    return out[["qid", "vec_id", "sim"]]
+
+
+def q_embedding_pairs(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> Dataset:
+    """Exact cosine near-dup pairs (vec_a < vec_b, sim >= threshold).
+
+    The full normalized matrix is broadcast once; each block compares
+    only its rows against it (distributed O(n²/blocks) flops). LSH
+    bucketing (q_ann_lsh_buckets) is the documented sub-quadratic
+    alternative when n² flops stop being affordable."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids, all_x = _block_matrix(full)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    all_xn = all_x[order] / np.linalg.norm(all_x[order], axis=1, keepdims=True)
+    ref = broadcast({"ids": all_ids, "x": all_xn})
+
+    ds = read_embeddings(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        ids, x = _block_matrix(t)
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if len(ids) == 0:
+            return empty
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = xn @ side["x"].T  # (block, N)
+        # keep only (my_id < other_id) so each pair is emitted once
+        mask = (sims >= threshold) & (ids[:, None] < side["ids"][None, :])
+        bi, oj = np.nonzero(mask)
+        if len(bi) == 0:
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[bi], type=pa.int64()),
+                "vec_b": pa.array(side["ids"][oj], type=pa.int64()),
+                "sim": pa.array(np.round(sims[bi, oj], 4), type=pa.float64()),
+            }
+        )
+
+    return map_partitions(ds, pairs)
+
+
+def q_ann_lsh_buckets(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> pd.DataFrame:
+    """Random-hyperplane LSH near-dup: the sub-quadratic scale path.
+
+    Sign-bit signatures over LSH_PLANES seeded hyperplanes → bucket id;
+    one shuffle by bucket; exact cosine only within buckets. Misses
+    cross-bucket pairs by design (recall measured in tests vs
+    q_embedding_pairs); rows-only driver check."""
+    ds = read_embeddings(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, x = _block_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": t["embedding"]})
+        dim = x.shape[1]
+        pl = np.random.default_rng(1234).normal(size=(dim, LSH_PLANES))
+        bits = (x @ pl) >= 0
+        bucket = (bits * (1 << np.arange(LSH_PLANES))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": as_array(t["embedding"]),
+            }
+        )
+
+    by_bucket = partition_by_conv(map_partitions(ds, assign), 16, keys=["bucket"])
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("bucket", "ascending"), ("vec_id", "ascending")])
+        bk = as_array(t["bucket"]).to_numpy()
+        ids, x = _block_matrix(t.select(["vec_id", "embedding"]))
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        la, lb, ls = [], [], []
+        starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+        ends = np.append(starts[1:], len(bk))
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            sims = xn[s:e] @ xn[s:e].T
+            i, j = np.triu_indices(m, k=1)
+            keep = sims[i, j] >= threshold
+            la.append(ids[s + i[keep]])
+            lb.append(ids[s + j[keep]])
+            ls.append(sims[i[keep], j[keep]])
+        if not la:
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(la), type=pa.int64()),
+                "vec_b": pa.array(np.concatenate(lb), type=pa.int64()),
+                "sim": pa.array(np.round(np.concatenate(ls), 4), type=pa.float64()),
+            }
+        )
+
+    out = map_partitions(by_bucket, bucket_pairs).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["vec_a", "vec_b", "sim"])
+    a = np.minimum(out["vec_a"], out["vec_b"])
+    b = np.maximum(out["vec_a"], out["vec_b"])
+    out["vec_a"], out["vec_b"] = a, b
+    return out.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True)

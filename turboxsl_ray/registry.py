@@ -1,0 +1,256 @@
+"""Query registry: name → (Ray pipeline, DuckDB oracle SQL).
+
+Contract (driver correctness gate): every SQL-expressible query has an
+oracle whose OUTPUT COLUMN NAMES AND TYPES match the Ray result
+exactly; floats that pass through reordered summation are rounded
+identically on both sides. Queries whose semantics SQL can't express
+(LSH, SimHash, lang-ID heuristics) have ``None`` SQL → rows-only
+check; their accuracy is pinned by pytest instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from turboxsl_ray.pipelines import multimodal, relational, text, transcript_features, vectors
+from turboxsl_ray.pipelines.transcript_features import DERIVE_SQL, SESSION_GAP_US
+
+_T = f"WITH t AS ({DERIVE_SQL})"
+
+_SESSION_CTE = f"""
+{_T},
+g AS (
+    SELECT conv_id, turn_idx, ts, value, tool,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+    FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+s AS (
+    SELECT conv_id, turn_idx, ts, value, tool, gap_us,
+           (turn_idx = 0 OR gap_us > {SESSION_GAP_US}) AS session_new,
+           CAST(SUM(CASE WHEN turn_idx = 0 OR gap_us > {SESSION_GAP_US} THEN 1 ELSE 0 END)
+                OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                AS BIGINT) AS session_idx
+    FROM g
+)
+"""
+
+REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    # ---- point-in-time / window feature engineering (transcripts) ----
+    "transcripts": (
+        transcript_features.q_transcripts,
+        f"{_T} SELECT * FROM t",
+    ),
+    "lag_lead": (
+        transcript_features.q_lag_lead,
+        f"""{_T}
+        SELECT conv_id, turn_idx, value,
+               LAG(value, 1) OVER w AS lag_value_1,
+               LAG(value, 2) OVER w AS lag_value_2,
+               LEAD(value, 1) OVER w AS lead_value_1,
+               LAG(role, 1) OVER w AS lag_role_1
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
+    ),
+    "sessionize": (
+        transcript_features.q_sessionize,
+        f"{_SESSION_CTE} SELECT conv_id, turn_idx, gap_us, session_new, session_idx FROM s",
+    ),
+    "backfill": (
+        transcript_features.q_backfill,
+        f"""{_T}
+        SELECT conv_id, turn_idx, tool,
+               last_value(tool IGNORE NULLS) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_ffill
+        FROM t""",
+    ),
+    "rolling": (
+        transcript_features.q_rolling,
+        f"""{_T}
+        SELECT conv_id, turn_idx,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w / 100.0 AS roll_sum_10,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w / (COUNT(*) OVER w * 100.0) AS roll_mean_10
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    ),
+    "asof_join": (
+        transcript_features.q_asof_join,
+        f"""{_T},
+        p AS (SELECT conv_id, ts, CAST(ROUND(SUM(value), 3) AS DOUBLE) AS purchase_value
+              FROM t WHERE role = 'purchase' GROUP BY conv_id, ts)
+        SELECT t.conv_id, t.turn_idx, t.ts, p.ts AS purchase_ts, p.purchase_value
+        FROM t ASOF LEFT JOIN p ON t.conv_id = p.conv_id AND t.ts >= p.ts""",
+    ),
+    "session_stats": (
+        transcript_features.q_session_stats,
+        f"""{_SESSION_CTE}
+        SELECT conv_id, session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+               CAST(ROUND(SUM(value), 3) AS DOUBLE) AS sum_value
+        FROM s GROUP BY conv_id, session_idx""",
+    ),
+    "conv_stats": (
+        transcript_features.q_conv_stats,
+        f"""{_SESSION_CTE}
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(MAX(session_idx) + 1 AS BIGINT) AS n_sessions,
+               MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+               CAST(ROUND(SUM(value), 3) AS DOUBLE) AS sum_value,
+               CAST(COUNT(tool) AS BIGINT) AS n_tool_turns
+        FROM s GROUP BY conv_id""",
+    ),
+    # ---- relational operator coverage ----
+    "pricing_summary": (
+        relational.q_pricing_summary,
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+                  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+                  CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
+                  CAST(COUNT(*) AS BIGINT) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""",
+    ),
+    "filter_project": (
+        relational.q_filter_project,
+        """SELECT l_orderkey, l_linenumber,
+                  l_extendedprice * (1 - l_discount) AS revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_discount > 0.05""",
+    ),
+    "top_orders": (
+        relational.q_top_orders,
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    ),
+    "orders_by_segment": (
+        relational.q_orders_by_segment,
+        """SELECT c_mktsegment,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS sum_total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment""",
+    ),
+    "customer_nation_region": (
+        relational.q_customer_nation_region,
+        """SELECT r_name, n_name,
+                  CAST(COUNT(*) AS BIGINT) AS n_customers,
+                  CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) AS sum_acctbal
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name""",
+    ),
+    "distinct_flags": (
+        relational.q_distinct_flags,
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    ),
+    "customers_without_orders": (
+        relational.q_customers_without_orders,
+        f"""SELECT c_custkey, c_name FROM customer
+           WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM orders WHERE o_totalprice > {relational.BIG_ORDER_CUTOFF})""",
+    ),
+    "event_counts": (
+        relational.q_event_counts,
+        """SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(ROUND(SUM(value), 3) AS DOUBLE) AS sum_value,
+                  CAST(ROUND(AVG(value), 4) AS DOUBLE) AS avg_value
+           FROM events GROUP BY event_type""",
+    ),
+    # ---- text analysis / dedup ----
+    "token_stats": (
+        text.q_token_stats,
+        """SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           FROM documents""",
+    ),
+    "quality_score": (
+        text.q_quality_score,
+        """SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                  CAST(length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')) AS BIGINT) AS n_punct,
+                  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                  CAST(ROUND((length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')))
+                       * 1.0 / length(text), 6) AS DOUBLE) AS punct_ratio,
+                  (len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 2000
+                   AND ROUND((length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')))
+                       * 1.0 / length(text), 6) < 0.1) AS is_quality
+           FROM documents""",
+    ),
+    "fingerprint": (
+        text.q_fingerprint,
+        "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    ),
+    "dedup_exact": (
+        text.q_dedup_exact,
+        """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text,
+                  CAST(COUNT(*) AS BIGINT) AS n_copies
+           FROM documents GROUP BY text""",
+    ),
+    "ngram_jaccard": (
+        text.q_ngram_jaccard,
+        f"""WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+            tok AS (
+                SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM words, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+        FROM shared JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {text.JACCARD_THRESHOLD}""",
+    ),
+    "minhash_lsh": (text.q_minhash_lsh, None),  # LSH not SQL-expressible
+    "simhash": (text.q_simhash, None),
+    "lang_id": (text.q_lang_id, None),
+    # ---- similarity search / embeddings ----
+    "ann_topk": (
+        vectors.q_ann_topk,
+        f"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+                       WHERE vec_id < {vectors.ANN_NUM_QUERIES}),
+            scored AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s,
+                       ROW_NUMBER() OVER (PARTITION BY q.qid
+                                          ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                                   e.vec_id) AS rn
+                FROM q, embeddings e WHERE e.vec_id <> q.qid)
+        SELECT qid, vec_id, CAST(ROUND(s, 4) AS DOUBLE) AS sim
+        FROM scored WHERE rn <= {vectors.ANN_K}""",
+    ),
+    "embedding_pairs": (
+        vectors.q_embedding_pairs,
+        f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {vectors.PAIR_THRESHOLD}""",
+    ),
+    "ann_lsh_buckets": (vectors.q_ann_lsh_buckets, None),
+    # ---- multimodal plumbing ----
+    "multimodal_meta": (
+        multimodal.q_multimodal_meta,
+        f"""SELECT doc_id,
+                   CAST(octet_length(encode(text)) + {multimodal.HEADER_LEN} AS BIGINT) AS payload_len,
+                   'fake/v1' AS format
+            FROM documents""",
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

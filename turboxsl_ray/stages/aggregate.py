@@ -1,0 +1,176 @@
+"""Distributed aggregation / join / top-k building blocks.
+
+Patterns (SURVEY.md §2.5-2.6), designed for the 100 TB shape:
+
+- ``groupby_small``: partial aggregation inside ``map_batches`` (one
+  tiny pre-aggregated table per block) + a driver-side final combine of
+  the tiny partials. This is the shuffle-free path for low-cardinality
+  keys (the reference's ``sum()``/``count()`` over a selection,
+  /root/reference/src/functions.c:284-304,372-393). The data crossing
+  the wire is O(blocks x groups), never O(rows).
+- ``broadcast``: put a small side in the object store ONCE
+  (``ray.put``) and read it zero-copy in every task — the reference's
+  ``document(url)``/``key()`` lookup re-expressed as a broadcast hash
+  join (functions.c:806-836, 1115-1165; its linear re-scan per call is
+  the anti-pattern, TODO:15).
+- ``topk``: per-block local prune (k rows max leave each block) before
+  the tiny global sort — never a full ``ds.sort`` of the input.
+- ``distinct_small``: per-block unique → tiny final unique, for
+  low-cardinality distinct. High-cardinality dedup goes through
+  hash-partition + per-group first (pipelines/text.py dedup_exact).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from turboxsl_ray.stages.partitioning import map_partitions
+
+# kind -> (partial columns needed)
+_KINDS = ("sum", "count", "count_valid", "min", "max", "mean")
+
+
+
+def collect_tables(ds: Dataset) -> list[pa.Table]:
+    """Materialize a (tiny) dataset as Arrow tables, zero-copy from the
+    object store. Only ever called on partial-aggregate outputs whose
+    size is O(blocks x groups)."""
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+def _partial_block(tbl: pa.Table, keys: list[str], specs: dict[str, tuple]) -> pa.Table:
+    """Per-block partial aggregate: one output row per key combo."""
+    need = set(keys)
+    for col, _ in specs.values():
+        if col is not None:
+            need.add(col)
+    df = tbl.select(sorted(need)).to_pandas()
+    g = df.groupby(keys, sort=False, dropna=False)
+    out: dict[str, Any] = {}
+    for name, (col, kind) in specs.items():
+        if kind == "sum":
+            out[f"__s_{name}"] = g[col].sum()
+        elif kind == "count":
+            out[f"__c_{name}"] = g.size()
+        elif kind == "count_valid":
+            out[f"__c_{name}"] = g[col].count()
+        elif kind == "min":
+            out[f"__mn_{name}"] = g[col].min()
+        elif kind == "max":
+            out[f"__mx_{name}"] = g[col].max()
+        elif kind == "mean":
+            out[f"__s_{name}"] = g[col].sum()
+            out[f"__c_{name}"] = g[col].count()
+        else:
+            raise ValueError(f"unknown agg kind {kind!r} (want one of {_KINDS})")
+    res = pd.DataFrame(out).reset_index()
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def groupby_small(
+    ds: Dataset,
+    keys: list[str],
+    specs: dict[str, tuple],
+    round_digits: dict[str, int] | None = None,
+    int_cols: tuple[str, ...] = (),
+) -> pd.DataFrame:
+    """Low-cardinality group-by: partial per block, tiny final on driver.
+
+    ``specs``: out_name -> (column | None, kind) with kind in
+    sum/count/count_valid/min/max/mean. ``round_digits`` rounds float
+    outputs at the very end (oracle-hash stability); ``int_cols`` are
+    cast to int64 (count-like outputs).
+    """
+    partials_ds = map_partitions(ds, lambda t: _partial_block(t, keys, specs))
+    # the partials are tiny (blocks x groups); materializing them on the
+    # driver is the final-combine step, not a data-scale collect.
+    parts = collect_tables(partials_ds)
+    if not parts:
+        return pd.DataFrame(columns=keys + list(specs))
+    allp = pa.concat_tables(parts, promote_options="permissive").to_pandas()
+    g = allp.groupby(keys, sort=False, dropna=False)
+    out: dict[str, Any] = {}
+    for name, (_col, kind) in specs.items():
+        if kind in ("sum",):
+            out[name] = g[f"__s_{name}"].sum()
+        elif kind in ("count", "count_valid"):
+            out[name] = g[f"__c_{name}"].sum()
+        elif kind == "min":
+            out[name] = g[f"__mn_{name}"].min()
+        elif kind == "max":
+            out[name] = g[f"__mx_{name}"].max()
+        elif kind == "mean":
+            out[name] = g[f"__s_{name}"].sum() / g[f"__c_{name}"].sum()
+    res = pd.DataFrame(out).reset_index()
+    for name, nd in (round_digits or {}).items():
+        res[name] = res[name].round(nd)
+    for name in int_cols:
+        res[name] = res[name].astype(np.int64)
+    return res
+
+
+def broadcast(obj: Any) -> "ray.ObjectRef":
+    """Put a small side in the object store once; workers ``ray.get`` it
+    (numpy payloads come back zero-copy). NEVER capture the object
+    itself in a map_batches closure — that re-ships it per task."""
+    return ray.put(obj)
+
+
+def fetch(ref: Any) -> Any:
+    """ray.get that tolerates being handed a plain object (tests)."""
+    if isinstance(ref, ray.ObjectRef):
+        return ray.get(ref)
+    return ref
+
+
+def lookup_int_keys(keys: np.ndarray, table_keys: np.ndarray, table_vals: np.ndarray,
+                    default: Any = None):
+    """Vectorized dict-style lookup for integer keys via searchsorted
+    over the (sorted) broadcast side. Returns (values, found_mask)."""
+    pos = np.searchsorted(table_keys, keys)
+    pos = np.clip(pos, 0, len(table_keys) - 1)
+    found = table_keys[pos] == keys
+    vals = table_vals[pos]
+    return vals, found
+
+
+def topk(ds: Dataset, keys: list[str], descending: list[bool], k: int) -> pd.DataFrame:
+    """Global top-k: per-block local prune, then a tiny driver-side sort.
+
+    Analog of the reference's ``[position() <= k]`` after ``xsl:sort``
+    (xpath.c:178-188, 484-576) — but at most k rows leave each block.
+    """
+    sort_by = [(c, "descending" if d else "ascending") for c, d in zip(keys, descending)]
+
+    def local_prune(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows <= k:
+            return tbl
+        return tbl.sort_by(sort_by).slice(0, k)
+
+    pruned = map_partitions(ds, local_prune)
+    parts = collect_tables(pruned)
+    if not parts:
+        return pa.table({}).to_pandas()
+    final = pa.concat_tables(parts, promote_options="permissive").sort_by(sort_by).slice(0, k)
+    return final.to_pandas()
+
+
+def distinct_small(ds: Dataset, cols: list[str]) -> pd.DataFrame:
+    """Distinct over low-cardinality columns: per-block unique → tiny
+    final unique."""
+
+    def local(tbl: pa.Table) -> pa.Table:
+        return tbl.select(cols).group_by(cols).aggregate([])
+
+    pruned = map_partitions(ds, local)
+    parts = collect_tables(pruned)
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    allp = pa.concat_tables(parts, promote_options="permissive")
+    return allp.group_by(cols).aggregate([]).to_pandas()
