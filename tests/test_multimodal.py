@@ -1,0 +1,66 @@
+"""Multimodal binary-payload plumbing: encode → decode (fake codec,
+actor pool) → featurize. The codecs are stubs; the Ray-side plumbing
+(schema, actor stage shape, batch sizing) is the tested surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_payload_roundtrip(ray_session):
+    from turboxsl_ray.pipelines.multimodal import HEADER_LEN, payload_dataset
+
+    df = payload_dataset(SF_DIR).to_pandas()
+    assert {"doc_id", "payload", "format", "width", "height"} <= set(df.columns)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    merged = df.merge(docs, on="doc_id")
+    # payload = 16-byte header + utf-8 text bytes, byte-exact
+    for _, row in merged.head(20).iterrows():
+        assert bytes(row["payload"])[HEADER_LEN:] == row["text"].encode("utf-8")
+
+
+def test_decode_stage_actor_pool(ray_session):
+    from turboxsl_ray.pipelines.multimodal import decoded_features
+
+    df = decoded_features(SF_DIR, concurrency=2).to_pandas()
+    assert df["decoded_ok"].all()
+    assert (df["width"] >= 16).all() and (df["width"] < 80).all()
+    assert (df["body_len"] > 0).sum() > 0  # empty texts allowed, most nonzero
+
+
+def test_decode_stage_unknown_codec_raises():
+    from turboxsl_ray.pipelines.multimodal import DecodeStage
+
+    stage = DecodeStage(codec="jpeg")
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"doc_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_featurize_deterministic(ray_session):
+    from turboxsl_ray.pipelines.multimodal import FeaturizeStage, payload_dataset
+
+    ds = payload_dataset(SF_DIR)
+    feats = ds.map_batches(
+        FeaturizeStage, batch_size=64, batch_format="pyarrow", concurrency=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(feats) == 500
+    v = np.stack(feats["feature"].to_numpy())
+    assert v.shape == (500, 8)
+    assert ((v >= 0) & (v <= 1)).all()
+    # same payload -> same feature (determinism across actors)
+    stage = FeaturizeStage()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    from turboxsl_ray.pipelines.multimodal import encode_payload_block
+
+    local = stage(encode_payload_block(docs)).to_pandas().sort_values("doc_id")
+    lv = np.stack(local["feature"].to_numpy())
+    np.testing.assert_array_equal(v, lv)

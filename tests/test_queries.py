@@ -1,0 +1,104 @@
+"""Registry queries vs DuckDB oracles at sf0.001 — the in-repo version
+of the driver's correctness gate (same canonicalization: columns
+sorted by name, rows sorted by all columns, dtype-normalized)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def oracle_checked_names():
+    from turboxsl_ray import registry
+
+    return sorted(registry.oracle_sql())
+
+
+@pytest.mark.parametrize("name", oracle_checked_names())
+def test_query_matches_oracle(ray_session, duck, name):
+    from turboxsl_ray import registry
+
+    fn = registry.queries()[name]
+    ours = canon(to_pandas(fn(SF_DIR)))
+    theirs = canon(duck.execute(registry.oracle_sql()[name]).df())
+    assert list(ours.columns) == list(theirs.columns)
+    assert len(ours) == len(theirs)
+    for c in ours.columns:
+        a, b = ours[c], theirs[c]
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(
+                a.to_numpy(), b.to_numpy(), rtol=0, atol=0, equal_nan=True,
+                err_msg=f"{name}.{c}")
+        else:
+            same = (a.astype(str) == b.astype(str)) | (a.isna() & b.isna())
+            assert same.all(), f"{name}.{c}: first diff at row {int(np.flatnonzero(~same)[0])}"
+
+
+def test_rows_only_queries_run(ray_session):
+    """Non-SQL-expressible queries: run + schema/determinism checks."""
+    from turboxsl_ray import registry
+
+    qs = registry.queries()
+    sqls = registry.oracle_sql()
+    rows_only = [n for n in qs if n not in sqls]
+    assert set(rows_only) == {"minhash_lsh", "simhash", "lang_id", "ann_lsh_buckets"}
+    for name in rows_only:
+        df = to_pandas(qs[name](SF_DIR))
+        assert df is not None
+        df2 = to_pandas(qs[name](SF_DIR))
+        pd.testing.assert_frame_equal(
+            canon(df), canon(df2), check_dtype=False
+        ), f"{name} not deterministic"
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    n = res.count()
+    assert n > 0
+    cols = set(res.schema().names)
+    assert {"conv_id", "turn_idx", "text", "session_idx", "gap_us"} <= cols
+    assert set(e.oracle_sql()) <= set(e.queries())

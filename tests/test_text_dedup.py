@@ -1,0 +1,148 @@
+"""Dedup / similarity operators on fixtures with PLANTED duplicates —
+covers what the sf oracles can't (recall of the approximate paths)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_dups(seed: int = 3) -> pa.Table:
+    """60 base docs + exact copies + near-dups (one word changed)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, ids = [], []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=30))
+        texts.append(" ".join(words))
+        ids.append(i)
+    # exact duplicates of docs 0..4
+    for j in range(5):
+        texts.append(texts[j])
+        ids.append(100 + j)
+    # near-duplicates of docs 10..14: change one middle word
+    for j in range(5):
+        words = texts[10 + j].split()
+        words[15] = "CHANGED"
+        texts.append(" ".join(words))
+        ids.append(200 + j)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("dupdocs")
+    pq.write_table(_docs_with_dups(), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_planted(ray_session, dup_dir):
+    from turboxsl_ray.pipelines.text import q_dedup_exact
+
+    df = q_dedup_exact(dup_dir).to_pandas()
+    # 70 docs, 5 exact dup pairs -> 65 distinct texts
+    assert len(df) == 65
+    dups = df[df["n_copies"] > 1]
+    assert len(dups) == 5
+    # first-wins: min doc_id kept
+    assert set(dups["doc_id"]) == {0, 1, 2, 3, 4}
+    assert (dups["n_copies"] == 2).all()
+
+
+def test_ngram_jaccard_finds_near_dups(ray_session, dup_dir):
+    from turboxsl_ray.pipelines.text import q_ngram_jaccard
+
+    pairs = q_ngram_jaccard(dup_dir, threshold=0.5)
+    got = {tuple(p) for p in pairs[["doc_a", "doc_b"]].to_numpy()}
+    # exact copies have jaccard 1.0; near-dups ~ (28-3*2)/28-ish > 0.5
+    for j in range(5):
+        assert (j, 100 + j) in got
+    for j in range(5):
+        assert (10 + j, 200 + j) in got
+    ones = pairs[pairs["jaccard"] >= 0.999]
+    assert {tuple(p) for p in ones[["doc_a", "doc_b"]].to_numpy()} >= {
+        (j, 100 + j) for j in range(5)
+    }
+
+
+def test_minhash_lsh_recall_vs_exact(ray_session, dup_dir):
+    """LSH must recover every exact-jaccard pair >= 0.7 (16 bands x 4
+    rows: detection probability at j=0.7 is ~1 - (1-0.24)^16 ~ 0.99)."""
+    from turboxsl_ray.pipelines.text import q_minhash_lsh, q_ngram_jaccard
+
+    exact = q_ngram_jaccard(dup_dir, threshold=0.7)
+    truth = {tuple(p) for p in exact[["doc_a", "doc_b"]].to_numpy()}
+    assert truth, "fixture must contain high-jaccard pairs"
+    est = q_minhash_lsh(dup_dir, est_threshold=0.5)
+    got = {tuple(p) for p in est[["doc_a", "doc_b"]].to_numpy()}
+    missed = truth - got
+    assert not missed, f"LSH missed {missed}"
+    # estimates for exact copies must be 1.0
+    perfect = est[est["doc_a"].isin(range(5)) & (est["doc_b"] >= 100)]
+    assert (perfect["est_jaccard"] == 1.0).all()
+
+
+def test_simhash_near_dup_hamming(ray_session, dup_dir):
+    """SimHash of near-dups differs in few bits; random pairs in many."""
+    from turboxsl_ray.pipelines.text import q_simhash
+
+    df = q_simhash(dup_dir).to_pandas().set_index("doc_id")["simhash"]
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    for j in range(5):
+        assert ham(df[j], df[100 + j]) == 0            # exact copy
+        assert ham(df[10 + j], df[200 + j]) <= 16      # near-dup
+    rand = [ham(df[i], df[i + 30]) for i in range(5)]
+    assert np.mean(rand) > 10                          # unrelated docs differ
+
+
+def test_lang_id_markers(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines.text import q_lang_id
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog is here",
+            "der hund und die katze ist da",
+            "le chat et la maison est grande",
+            "你好 世界",
+            "zzz qqq xxx",
+        ]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    df = q_lang_id(str(tmp_path)).to_pandas().set_index("doc_id")["pred_lang"]
+    assert df[1] == "en" and df[2] == "de" and df[3] == "fr"
+    assert df[4] == "zh" and df[5] == "unknown"
+
+
+def test_embedding_lsh_recall(ray_session, tmp_path):
+    """Hyperplane LSH finds planted near-identical vectors (tiny angle)."""
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines.vectors import q_ann_lsh_buckets, q_embedding_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    near = base[:5] + rng.normal(scale=0.01, size=(5, 16)).astype(np.float32)
+    mat = np.vstack([base, near])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(45), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), 16).cast(pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(45, dtype=np.int32)),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    exact = q_embedding_pairs(str(tmp_path), threshold=0.99).to_pandas()
+    truth = {tuple(p) for p in exact[["vec_a", "vec_b"]].to_numpy()}
+    assert {(j, 40 + j) for j in range(5)} <= truth
+    approx = q_ann_lsh_buckets(str(tmp_path), threshold=0.99)
+    got = {tuple(p) for p in approx[["vec_a", "vec_b"]].to_numpy()}
+    # near-identical vectors share every hyperplane side (w.h.p.)
+    assert {(j, 40 + j) for j in range(5)} <= got

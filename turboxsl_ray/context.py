@@ -28,17 +28,29 @@ def tune_context(
     *,
     target_max_block_size: int | None = None,
     preserve_order: bool | None = None,
+    read_min_blocks: int | None = None,
     quiet: bool = True,
 ) -> None:
     """Apply engine-recommended DataContext knobs.
 
-    At 100 TB scale block size governs shuffle fan-out and object-store
-    pressure; at sandbox scale the defaults are fine — we only quiet
-    the progress bars for tests/bench.
+    Block size governs everything downstream: Ray's default
+    ``read_op_min_num_blocks=200`` shatters small inputs into ~1 MB
+    blocks, and per-task + per-block shuffle overhead then dominates
+    wall time. We floor read parallelism at the CPU count instead —
+    at 100 TB the 128 MB ``target_max_block_size`` takes over and this
+    knob is moot.
     """
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
+    if read_min_blocks is None:
+        try:
+            import ray
+
+            read_min_blocks = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            read_min_blocks = 8
+    ctx.read_op_min_num_blocks = read_min_blocks
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
     if preserve_order is not None:

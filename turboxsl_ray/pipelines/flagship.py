@@ -179,15 +179,27 @@ def _arrow_schema(ds: Dataset) -> pa.Schema:
 
 
 def session_offsets(
-    left_salted: Dataset,
+    left: Dataset,
     plan: dict[str, int],
     session_gap_us: int,
     num_partitions: int,
 ) -> dict[tuple[str, int], int]:
-    """Exclusive prefix sums of per-(conv, salt) owned new-session
+    """Exclusive prefix sums of per-(conv, salt-bucket) new-session
     counts — the tiny pre-pass that makes bucket-local session ordinals
-    globally exact. Only salted conversations flow (projected to 4
-    columns)."""
+    globally exact.
+
+    Scans the RAW left side filter-first (only rows of salted
+    conversations survive the projection — 3 columns), computes global
+    gap-based new-session flags per conversation, and sums them per
+    salt bucket (``turn_idx // bucket_rows``, the same formula
+    ``_salt_left`` uses). This equals the count the main pass sees over
+    owned rows: a bucket's first owned row gets its gap from the
+    replicated predecessor turn, which is exactly its global
+    predecessor (lookback >= 1), so the flags agree row-for-row.
+
+    Each salted conversation lands whole on one worker here — fine for
+    a 3-column count pass; the per-bucket variant (shuffle by
+    (conv, salt)) is the fallback if even counting must be split."""
     convs = set(plan)
     if not convs:
         return {}
@@ -195,12 +207,11 @@ def session_offsets(
     def project(tbl: pa.Table) -> pa.Table:
         conv = as_array(tbl["conv_id"]).to_pandas()
         mask = conv.isin(convs).to_numpy()
-        return tbl.filter(pa.array(mask)).select(
-            ["conv_id", SALT_COL, OWNED_COL, "ts", "turn_idx"]
-        )
+        return tbl.filter(pa.array(mask)).select(["conv_id", "ts", "turn_idx"])
 
-    small = map_partitions(left_salted, project)
-    parts = partition_by_conv(small, num_partitions, keys=["conv_id", SALT_COL])
+    small = map_partitions(left, project)
+    # tiny pre-pass: few shuffle partitions keep fixed startup cost down
+    parts = partition_by_conv(small, min(8, num_partitions), keys=["conv_id"])
 
     def per_block(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -210,23 +221,27 @@ def session_offsets(
                  "n_sessions": pa.array([], pa.int64())}
             )
         tbl = tbl.sort_by(
-            [("conv_id", "ascending"), (SALT_COL, "ascending"),
-             ("ts", "ascending"), ("turn_idx", "ascending")]
+            [("conv_id", "ascending"), ("ts", "ascending"),
+             ("turn_idx", "ascending")]
         )
         starts = W.segment_starts_from_arrow(tbl["conv_id"])
-        starts |= W.segment_starts_from_arrow(tbl[SALT_COL])
         ts_us = as_array(tbl["ts"].cast(pa.int64())).to_numpy()
         new_s, _ = W.session_index(starts, ts_us, session_gap_us)
-        owned = as_array(tbl[OWNED_COL]).to_numpy(zero_copy_only=False)
-        x = new_s & owned
-        # per-segment sums
-        seg_id = np.cumsum(starts) - 1
-        sums = np.bincount(seg_id, weights=x).astype(np.int64)
-        first_rows = np.flatnonzero(starts)
+        conv_np = as_array(tbl["conv_id"]).to_pandas().to_numpy()
+        turn = as_array(tbl["turn_idx"]).to_numpy().astype(np.int64)
+        import pandas as pd
+
+        bucket_rows = pd.Series(conv_np).map(plan).to_numpy(np.int64)
+        bucket = turn // bucket_rows
+        seg_change = starts.copy()
+        seg_change[1:] |= bucket[1:] != bucket[:-1]
+        seg_id = np.cumsum(seg_change) - 1
+        sums = np.bincount(seg_id, weights=new_s).astype(np.int64)
+        first_rows = np.flatnonzero(seg_change)
         return pa.table(
             {
                 "conv_id": as_array(tbl["conv_id"]).take(pa.array(first_rows)),
-                SALT_COL: as_array(tbl[SALT_COL]).take(pa.array(first_rows)),
+                SALT_COL: pa.array(bucket[first_rows].astype(np.int32)),
                 "n_sessions": pa.array(sums, type=pa.int64()),
             }
         )
@@ -277,7 +292,7 @@ def run_flagship(
         left, lambda t: _salt_left(t, plan, lookback, lookahead, P)
     )
 
-    offsets = session_offsets(left_salted, plan, cfg.session_gap_us, P)
+    offsets = session_offsets(left, plan, cfg.session_gap_us, P)
 
     # --- align schemas and union the two sides
     lschema = _arrow_schema(left)
@@ -461,6 +476,7 @@ def run_flagship(
         "salted_convs": len(plan),
         "config_fingerprint": fp,
         "manifest": lineage.load_manifest(out_dir),
+        "stats": summary_ds.stats(),
     }
 
 

@@ -28,7 +28,7 @@ import ray
 import ray.data
 from ray.data import Dataset
 
-from turboxsl_ray.kernels.arrays import as_array
+from turboxsl_ray.kernels.arrays import as_array, to_cents
 from turboxsl_ray.stages.aggregate import (
     broadcast,
     distinct_small,
@@ -69,32 +69,44 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     def prep(t: pa.Table) -> pa.Table:
         keep = pc.less_equal(t["l_shipdate"], pa.scalar(SHIP_CUTOFF))
         t = t.filter(keep)
-        disc_price = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
+        # money math in integer cents: float sums of ~1e7 carry a
+        # summation-order error LARGER than the 2-decimal rounding
+        # granularity, so only exact integer sums can match the oracle
+        qty = as_array(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        price = as_array(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = as_array(t["l_discount"]).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "l_returnflag": as_array(t["l_returnflag"]),
                 "l_linestatus": as_array(t["l_linestatus"]),
-                "l_quantity": as_array(t["l_quantity"]),
-                "l_extendedprice": as_array(t["l_extendedprice"]),
-                "disc_price": as_array(disc_price),
+                "qty_c": pa.array(to_cents(qty)),
+                "base_c": pa.array(to_cents(price)),
+                "disc_c": pa.array(to_cents(price * (1 - disc))),
             }
         )
 
     prepped = map_partitions(ds, prep)
-    return groupby_small(
+    agg = groupby_small(
         prepped,
         keys=["l_returnflag", "l_linestatus"],
         specs={
-            "sum_qty": ("l_quantity", "sum"),
-            "sum_base_price": ("l_extendedprice", "sum"),
-            "sum_disc_price": ("disc_price", "sum"),
-            "avg_qty": ("l_quantity", "mean"),
+            "sum_qty_c": ("qty_c", "sum"),
+            "sum_base_c": ("base_c", "sum"),
+            "sum_disc_c": ("disc_c", "sum"),
             "count_order": (None, "count"),
         },
-        round_digits={"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4},
-        int_cols=("count_order",),
+        int_cols=("count_order", "sum_qty_c", "sum_base_c", "sum_disc_c"),
+    )
+    return pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["sum_qty_c"] / 100.0,
+            "sum_base_price": agg["sum_base_c"] / 100.0,
+            "sum_disc_price": agg["sum_disc_c"] / 100.0,
+            "avg_qty": agg["sum_qty_c"] / (agg["count_order"] * 100.0),
+            "count_order": agg["count_order"],
+        }
     )
 
 
@@ -156,22 +168,24 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
         pos = np.clip(pos, 0, len(side["keys"]) - 1)
         found = side["keys"][pos] == ck
         seg = np.array(side["dict"], dtype=object)[side["codes"][pos]]
+        tp = as_array(t["o_totalprice"]).to_numpy(zero_copy_only=False)
         t2 = pa.table(
             {
                 "c_mktsegment": pa.array(seg, type=pa.string()),
-                "o_totalprice": as_array(t["o_totalprice"]),
+                "total_c": pa.array(to_cents(tp)),
             }
         )
         return t2.filter(pa.array(found))
 
     probed = map_partitions(ds, probe)
-    return groupby_small(
+    agg = groupby_small(
         probed,
         keys=["c_mktsegment"],
-        specs={"n_orders": (None, "count"), "sum_total": ("o_totalprice", "sum")},
-        round_digits={"sum_total": 2},
-        int_cols=("n_orders",),
+        specs={"n_orders": (None, "count"), "sum_total_c": ("total_c", "sum")},
+        int_cols=("n_orders", "sum_total_c"),
     )
+    agg["sum_total"] = agg.pop("sum_total_c") / 100.0
+    return agg
 
 
 def q_customer_nation_region(sf_dir: str) -> pd.DataFrame:
@@ -196,23 +210,25 @@ def q_customer_nation_region(sf_dir: str) -> pd.DataFrame:
         pos = np.searchsorted(side["keys"], nk)
         pos = np.clip(pos, 0, len(side["keys"]) - 1)
         found = side["keys"][pos] == nk
+        bal = as_array(t["c_acctbal"]).to_numpy(zero_copy_only=False)
         out = pa.table(
             {
                 "r_name": pa.array(side["r_name"][pos], type=pa.string()),
                 "n_name": pa.array(side["n_name"][pos], type=pa.string()),
-                "c_acctbal": as_array(t["c_acctbal"]),
+                "bal_c": pa.array(to_cents(bal)),
             }
         )
         return out.filter(pa.array(found))
 
     probed = map_partitions(ds, probe)
-    return groupby_small(
+    agg = groupby_small(
         probed,
         keys=["r_name", "n_name"],
-        specs={"n_customers": (None, "count"), "sum_acctbal": ("c_acctbal", "sum")},
-        round_digits={"sum_acctbal": 2},
-        int_cols=("n_customers",),
+        specs={"n_customers": (None, "count"), "sum_bal_c": ("bal_c", "sum")},
+        int_cols=("n_customers", "sum_bal_c"),
     )
+    agg["sum_acctbal"] = agg.pop("sum_bal_c") / 100.0
+    return agg
 
 
 def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
@@ -254,16 +270,24 @@ def q_customers_without_orders(sf_dir: str) -> Dataset:
 
 
 def q_event_counts(sf_dir: str) -> pd.DataFrame:
-    """Per-event-type rollup of the events stream table."""
+    """Per-event-type rollup of the events stream table (cents-exact)."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-    return groupby_small(
-        ds,
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": as_array(t["event_type"]),
+                "value_c": pa.array(to_cents(v)),
+            }
+        )
+
+    agg = groupby_small(
+        map_partitions(ds, prep),
         keys=["event_type"],
-        specs={
-            "n": (None, "count"),
-            "sum_value": ("value", "sum"),
-            "avg_value": ("value", "mean"),
-        },
-        round_digits={"sum_value": 3, "avg_value": 4},
-        int_cols=("n",),
+        specs={"n": (None, "count"), "sum_c": ("value_c", "sum")},
+        int_cols=("n", "sum_c"),
     )
+    agg["sum_value"] = agg["sum_c"] / 100.0
+    agg["avg_value"] = agg["sum_c"] / (agg["n"] * 100.0)
+    return agg.drop(columns=["sum_c"])

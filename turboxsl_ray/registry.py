@@ -105,10 +105,10 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "pricing_summary": (
         relational.q_pricing_summary,
         """SELECT l_returnflag, l_linestatus,
-                  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
-                  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-                  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-                  CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
+                  SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+                  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+                  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
+                  SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_qty,
                   CAST(COUNT(*) AS BIGINT) AS count_order
            FROM lineitem
            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -130,7 +130,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         relational.q_orders_by_segment,
         """SELECT c_mktsegment,
                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS sum_total
+                  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_total
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment""",
     ),
@@ -138,7 +138,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         relational.q_customer_nation_region,
         """SELECT r_name, n_name,
                   CAST(COUNT(*) AS BIGINT) AS n_customers,
-                  CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) AS sum_acctbal
+                  SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0 AS sum_acctbal
            FROM customer
            JOIN nation ON c_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
@@ -158,8 +158,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         relational.q_event_counts,
         """SELECT event_type,
                   CAST(COUNT(*) AS BIGINT) AS n,
-                  CAST(ROUND(SUM(value), 3) AS DOUBLE) AS sum_value,
-                  CAST(ROUND(AVG(value), 4) AS DOUBLE) AS avg_value
+                  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value,
+                  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_value
            FROM events GROUP BY event_type""",
     ),
     # ---- text analysis / dedup ----

@@ -55,6 +55,15 @@ def sort_block(tbl: pa.Table, keys=None) -> pa.Table:
     return tbl.sort_by([(k, "ascending") for k in keys])
 
 
+def _pin_arrow_threads() -> None:
+    """Arrow's internal pool defaults to ALL cores in every worker
+    process; N workers x N arrow threads thrashes the node. Each Ray
+    task is our unit of parallelism, so kernels run single-threaded."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+
 def map_partitions(
     ds: Dataset,
     fn: Callable[[pa.Table], pa.Table],
@@ -62,8 +71,13 @@ def map_partitions(
 ) -> Dataset:
     """Apply ``fn`` to each whole block (batch_size=None => one batch
     per hash partition), zero-copy Arrow in/out."""
+
+    def wrapped(tbl: pa.Table) -> pa.Table:
+        _pin_arrow_threads()
+        return fn(tbl)
+
     return ds.map_batches(
-        fn,
+        wrapped,
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -41,37 +41,54 @@ SALT_COL = "salt"
 OWNED_COL = "owned"
 
 
+# assumed upper bound on blocks a single conversation's rows can be
+# spread over; used for the pigeonhole floor below.
+_MAX_BLOCKS_PER_CONV = 1024
+
+
 def conv_counts(
     ds: Dataset, key: str = "conv_id", min_total: int | None = None
 ) -> dict[str, int]:
-    """Turns per conversation via partial per-block counts + tiny final
-    groupby (pre-aggregation pattern — the full rows never shuffle).
+    """Turns per conversation via partial per-block counts + tiny
+    driver-side combine — NO shuffle (the full rows never move, and
+    neither do full per-conv dictionaries).
 
-    ``min_total`` keeps only conversations with MORE than that many
-    rows — at 10^12-turn scale only the mega conversations come back
-    to the driver, never the full conv dictionary.
+    With ``min_total`` set, each block drops conversations it sees
+    fewer than ``min_total / 1024`` times before emitting: by
+    pigeonhole, any conversation with a true total > ``min_total``
+    spread over <= 1024 blocks must clear that floor in at least one
+    block, so no mega conversation is ever missed. Totals for the
+    survivors are undercounted by at most floor x blocks — a bounded
+    error on a *performance* decision (whether to salt a borderline
+    conversation), never on feature values.
     """
+    floor = 0
+    if min_total is not None:
+        floor = max(2, int(min_total) // _MAX_BLOCKS_PER_CONV)
 
     def partial(tbl: pa.Table) -> pa.Table:
         g = tbl.group_by(key).aggregate([(key, "count")])
-        return g.rename_columns([key, "n"])
+        g = g.rename_columns([key, "n"])
+        if floor:
+            import pyarrow.compute as pc
+
+            g = g.filter(pc.greater_equal(g["n"], floor))
+        return g
 
     partials = ds.select_columns([key]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    from ray.data.aggregate import Sum
+    from turboxsl_ray.stages.aggregate import collect_tables
 
-    agg = partials.groupby(key).aggregate(Sum("n", alias_name="n"))
+    tables = collect_tables(partials)
+    acc: dict[str, int] = {}
+    for t in tables:
+        for k, n in zip(t[key].to_pylist(), t["n"].to_pylist()):
+            acc[k] = acc.get(k, 0) + int(n)
     if min_total is not None:
         thr = int(min_total)
-        def keep_big(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return t.filter(pc.greater(t["n"], thr))
-
-        agg = agg.map_batches(keep_big, batch_format="pyarrow")
-    out = agg.take_all()
-    return {r[key]: int(r["n"]) for r in out}
+        acc = {k: n for k, n in acc.items() if n > thr}
+    return acc
 
 
 def plan_salting(
