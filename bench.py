@@ -42,6 +42,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # dominate fixed overhead for a meaningful strong-scaling slope)
 HEADLINE_CONVS = 15_000
 SCALING_CONVS = 80_000
+WEAK_CONVS = 20_000  # ~1/4 of SCALING_CONVS rows (weak-scaling pair)
 SYNTH_MEAN_TURNS = 12
 SYNTH_MAX_TURNS = 600
 SYNTH_MEGA_FRAC = 0.05
@@ -169,38 +170,55 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _headline_subprocess(num_cpus: int, flag: str, attempts: int = 2) -> dict:
+    """Best-of-N fresh-process headline run (local-mode runs are noisy)."""
+    best = None
+    for _ in range(attempts):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only", flag],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        r = json.loads(line)
+        if best is None or (r["headline"]["throughput_turns_per_s"]
+                            > best["headline"]["throughput_turns_per_s"]):
+            best = r
+        time.sleep(10)  # let the previous local cluster fully tear down
+    return best
+
+
 def scaling_report() -> dict:
-    """Same job, same input, same plan — 8 vs 32 CPUs, fresh process
-    each. Efficiency = (thr_32 / thr_8) / (32 / 8)."""
-    synth_input_dir(SCALING_CONVS)  # warm the cache; generation not billed
-    results = {}
-    for n in (8, 32):
-        best = None
-        for _attempt in range(2):  # best-of-2: local-mode runs are noisy
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only", "--scale-input"],
-                capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
-            if best is None or (r["headline"]["throughput_turns_per_s"]
-                                > best["headline"]["throughput_turns_per_s"]):
-                best = r
-            time.sleep(10)  # let the previous local cluster fully tear down
-        results[n] = best
-    t8 = results[8]["headline"]["throughput_turns_per_s"]
-    t32 = results[32]["headline"]["throughput_turns_per_s"]
-    eff = (t32 / t8) / (32 / 8)
+    """Two sandbox stand-ins for the N-vs-4N-node criterion:
+
+    - STRONG: same input (~21M turns), same plan, 8 vs 32 CPUs.
+      Efficiency = (thr_32 / thr_8) / 4. In local mode all runs share
+      ONE raylet / object store / driver process, so this includes
+      shared-memory machinery a real cluster replicates per node.
+    - WEAK: data proportional to CPUs (~5.2M turns at 8 CPUs vs ~21M
+      at 32), the standard cluster-growth story (each node brings its
+      own data AND its own raylet). Efficiency = thr_32 / (4 * thr_8).
+    """
+    synth_input_dir(SCALING_CONVS)  # warm the caches; generation not billed
+    synth_input_dir(WEAK_CONVS)
+    strong8 = _headline_subprocess(8, "--scale-input")
+    strong32 = _headline_subprocess(32, "--scale-input")
+    weak8 = _headline_subprocess(8, "--weak-input")
+    t8 = strong8["headline"]["throughput_turns_per_s"]
+    t32 = strong32["headline"]["throughput_turns_per_s"]
+    w8 = weak8["headline"]["throughput_turns_per_s"]
     return {
         "metric": "scaling efficiency 8->32 cpus, flagship as-of+window over synthetic Zipf transcripts",
-        "value": round(eff, 3),
+        "value": round((t32 / t8) / 4, 3),
         "unit": "efficiency",
         "throughput_8cpu": t8,
         "throughput_32cpu": t32,
-        "rows": results[32]["headline"]["rows"],
+        "rows": strong32["headline"]["rows"],
         "speedup": round(t32 / t8, 2),
+        "weak_throughput_8cpu": w8,
+        "weak_rows_8cpu": weak8["headline"]["rows"],
+        "weak_efficiency": round(t32 / (4 * w8), 3),
     }
 
 
@@ -209,6 +227,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scale-input", action="store_true")
+    ap.add_argument("--weak-input", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
     args = ap.parse_args()
 
@@ -218,7 +237,8 @@ def main() -> None:
 
     import ray
 
-    n_convs = SCALING_CONVS if args.scale_input else HEADLINE_CONVS
+    n_convs = (SCALING_CONVS if args.scale_input
+               else WEAK_CONVS if args.weak_input else HEADLINE_CONVS)
     headline = run_headline(NUM_CPUS, n_convs)
     queries = {} if (args.headline_only or args.skip_queries) else run_queries(SF_DIR)
     out = {

@@ -464,3 +464,36 @@ def q_lang_id(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(ds, fn)
+
+
+# --------------------------------------------------------------------------
+# scalar string-function library surface (functions/strings.py)
+# --------------------------------------------------------------------------
+
+def q_string_funcs(sf_dir: str) -> Dataset:
+    """One projection exercising the XPath/ltr string library
+    (functions/strings.py; reference functions.c:160-751) — every
+    column has an exact DuckDB equivalent in the oracle."""
+    from turboxsl_ray.functions import strings as F
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        return pa.table(
+            {
+                "doc_id": as_array(t["doc_id"]),
+                "prefix8": F.substring(txt, 1, 8),
+                "before_sp": F.substring_before(txt, " "),
+                "after_sp": F.substring_after(txt, " "),
+                "has_agg": F.contains(txt, "agg"),
+                "starts_key": F.starts_with(txt, "key"),
+                "norm": F.normalize_space(txt),
+                "n_cp": F.string_length(txt),
+                "vowels_up": F.translate(txt, "aeiou", "AEIOU"),
+                "upper": F.upper(txt),
+                "len_r7": F.xpath_round(pc.divide(pc.cast(pc.utf8_length(txt), pa.float64()), 7.0)),
+            }
+        )
+
+    return map_partitions(ds, fn)

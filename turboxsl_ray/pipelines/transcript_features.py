@@ -332,3 +332,68 @@ def q_conv_stats(sf_dir: str) -> Dataset:
     return transcripts_pipeline(
         sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
     )
+
+
+def q_rule_dispatch(sf_dir: str) -> Dataset:
+    """Prioritized per-row rule routing (stages/dispatch.py) — the
+    apply-templates/template-match analog (instructions.c:69-145,
+    templates.c:435-487). Oracle = the equivalent CASE cascade."""
+    from turboxsl_ray.stages.dispatch import RuleSet
+
+    rules = (
+        RuleSet(default_action=lambda t: np.zeros(t.num_rows))
+        .add(
+            "big_purchase",
+            lambda t: pc.and_(pc.equal(t["role"], "purchase"),
+                              pc.greater(t["value"], 60.0)),
+            lambda t: pc.multiply(as_array(t["value"]), 2.0),
+            priority=10,
+        )
+        .add(
+            "purchase",
+            lambda t: pc.equal(t["role"], "purchase"),
+            lambda t: as_array(t["value"]),
+            priority=5,
+        )
+        .add(
+            "error",
+            lambda t: pc.equal(t["role"], "error"),
+            lambda t: np.full(t.num_rows, -1.0),
+            priority=5,
+        )
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        out = rules.apply(t, out_col="rule", value_col="score")
+        return out.select(["conv_id", "turn_idx", "rule", "score"])
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def q_streaming_window(sf_dir: str) -> Dataset:
+    """Past-only window features through the STATEFUL actor-pool stage
+    (stages/streaming_window.py): per-conversation ring buffers carry
+    lag/gap/session/backfill state across small batch boundaries.
+    Results must equal the block-local path — the oracle is the same
+    SQL as the stateless window queries."""
+    from turboxsl_ray.stages.streaming_window import StreamingWindowStage
+    from turboxsl_ray.stages.window_stage import WindowSpec
+
+    spec = WindowSpec(
+        lags=(("value", 1), ("value", 2), ("role", 1)),
+        gap=True,
+        session_gap_us=SESSION_GAP_US,
+        ffill_cols=("tool",),
+    )
+    parts = transcripts_pipeline(sf_dir)  # sorted whole-conv blocks
+    out = parts.map_batches(
+        StreamingWindowStage,
+        fn_constructor_kwargs={"spec": spec},
+        batch_size=512,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return out

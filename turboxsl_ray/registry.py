@@ -101,6 +101,44 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                CAST(COUNT(tool) AS BIGINT) AS n_tool_turns
         FROM s GROUP BY conv_id""",
     ),
+    "rule_dispatch": (
+        transcript_features.q_rule_dispatch,
+        f"""{_T}
+        SELECT conv_id, turn_idx,
+               CASE WHEN role = 'purchase' AND value > 60 THEN 'big_purchase'
+                    WHEN role = 'purchase' THEN 'purchase'
+                    WHEN role = 'error' THEN 'error'
+                    ELSE 'default' END AS rule,
+               CASE WHEN role = 'purchase' AND value > 60 THEN value * 2
+                    WHEN role = 'purchase' THEN value
+                    WHEN role = 'error' THEN -1.0
+                    ELSE 0.0 END AS score
+        FROM t""",
+    ),
+    "streaming_window": (
+        transcript_features.q_streaming_window,
+        f"""{_T},
+        g AS (
+            SELECT conv_id, turn_idx, role, text, tool, ts, value,
+                   LAG(value, 1) OVER w AS lag_value_1,
+                   LAG(value, 2) OVER w AS lag_value_2,
+                   LAG(role, 1) OVER w AS lag_role_1,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+                   last_value(tool IGNORE NULLS) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_ffill
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts, value,
+               lag_value_1, lag_value_2, lag_role_1, gap_us,
+               (turn_idx = 0 OR gap_us > {SESSION_GAP_US}) AS session_new,
+               CAST(SUM(CASE WHEN turn_idx = 0 OR gap_us > {SESSION_GAP_US} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                    AS BIGINT) AS session_idx,
+               tool_ffill
+        FROM g""",
+    ),
     # ---- relational operator coverage ----
     "pricing_summary": (
         relational.q_pricing_summary,
@@ -210,6 +248,21 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                CAST(ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
         FROM shared JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
         WHERE c * 1.0 / (sa.n + sb.n - c) >= {text.JACCARD_THRESHOLD}""",
+    ),
+    "string_funcs": (
+        text.q_string_funcs,
+        """SELECT doc_id,
+                  substr(text, 1, 8) AS prefix8,
+                  CASE WHEN contains(text, ' ') THEN split_part(text, ' ', 1) ELSE '' END AS before_sp,
+                  CASE WHEN contains(text, ' ') THEN substr(text, strpos(text, ' ') + 1) ELSE '' END AS after_sp,
+                  contains(text, 'agg') AS has_agg,
+                  starts_with(text, 'key') AS starts_key,
+                  regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm,
+                  CAST(length(text) AS BIGINT) AS n_cp,
+                  translate(text, 'aeiou', 'AEIOU') AS vowels_up,
+                  upper(text) AS upper,
+                  floor(length(text) / 7.0 + 0.5) AS len_r7
+           FROM documents""",
     ),
     "minhash_lsh": (text.q_minhash_lsh, None),  # LSH not SQL-expressible
     "simhash": (text.q_simhash, None),

@@ -1,0 +1,102 @@
+"""Rule dispatch: per-row predicate → feature-fn routing, vectorized.
+
+This is the reference's central transform semantic —
+``xsl:apply-templates`` finds the single best-matching template per
+node by predicate + specificity weight and applies it
+(/root/reference/src/instructions.c:69-145, templates.c:435-487, weight
+at templates.c:174-179); unmatched nodes fall through to the built-in
+default template (transform.c:130-158). ``xsl:choose`` is the
+first-match special case (instructions.c:234-286).
+
+Here: each rule is (name, priority, vectorized predicate, vectorized
+action). Per batch, every predicate is evaluated ONCE as a boolean
+mask; the winning rule per row is the highest priority (ties →
+registration order, matching the reference's first-match-in-tier scan,
+templates.c:459-469). Actions run once per rule over the whole batch
+and are blended by mask — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from turboxsl_ray.kernels.arrays import as_array
+
+Predicate = Callable[[pa.Table], "pa.Array | np.ndarray"]
+Action = Callable[[pa.Table], "pa.Array | np.ndarray"]
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    predicate: Predicate          # tbl -> bool mask (all rows)
+    action: Action                # tbl -> value array (all rows)
+    priority: int = 0             # higher wins (specificity weight)
+
+
+@dataclass
+class RuleSet:
+    """An ordered, prioritized rule table with a default action."""
+
+    rules: list[Rule] = field(default_factory=list)
+    default_name: str = "default"
+    default_action: Action | None = None
+
+    def add(self, name: str, predicate: Predicate, action: Action,
+            priority: int = 0) -> "RuleSet":
+        self.rules.append(Rule(name, predicate, action, priority))
+        return self
+
+    def _masks(self, tbl: pa.Table) -> tuple[np.ndarray, list[Rule]]:
+        """winner[i] = index into ordered rules, or -1 (default).
+
+        Rules sorted by (-priority, registration order); first match in
+        that order wins — evaluated as a reverse-priority overwrite so
+        each predicate runs exactly once per batch.
+        """
+        order = sorted(
+            range(len(self.rules)), key=lambda i: (-self.rules[i].priority, i)
+        )
+        ordered = [self.rules[i] for i in order]
+        n = tbl.num_rows
+        winner = np.full(n, -1, dtype=np.int64)
+        for idx in range(len(ordered) - 1, -1, -1):
+            m = ordered[idx].predicate(tbl)
+            if isinstance(m, (pa.Array, pa.ChunkedArray)):
+                m = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+            winner[np.asarray(m, dtype=bool)] = idx
+        return winner, ordered
+
+    def apply(self, tbl: pa.Table, out_col: str = "rule",
+              value_col: str | None = None) -> pa.Table:
+        """Append ``out_col`` (winning rule name) and optionally
+        ``value_col`` (winning rule's action output) to the batch."""
+        winner, ordered = self._masks(tbl)
+        names = np.array([r.name for r in ordered] + [self.default_name], dtype=object)
+        tbl = tbl.append_column(
+            out_col, pa.array(names[winner], type=pa.string())
+        )
+        if value_col is not None:
+            out: pa.Array | None = None
+            if self.default_action is not None:
+                out = _to_arrow(self.default_action(tbl))
+            for idx, rule in enumerate(ordered):
+                vals = _to_arrow(rule.action(tbl))
+                if out is None:
+                    # unmatched rows stay null when there is no default
+                    out = as_array(pa.nulls(tbl.num_rows, type=vals.type))
+                mask = pa.array(winner == idx)
+                out = as_array(pc.if_else(mask, vals, out))
+            tbl = tbl.append_column(value_col, out)
+        return tbl
+
+
+def _to_arrow(x) -> pa.Array:
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return as_array(x)
+    return pa.array(np.asarray(x))
