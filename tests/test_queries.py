@@ -83,7 +83,9 @@ def test_rows_only_queries_run(ray_session):
     qs = registry.queries()
     sqls = registry.oracle_sql()
     rows_only = [n for n in qs if n not in sqls]
-    assert set(rows_only) == {"minhash_lsh", "simhash", "lang_id", "ann_lsh_buckets"}
+    assert set(rows_only) == {
+        "minhash_lsh", "simhash", "lang_id", "ann_lsh_buckets", "ann_ivf"
+    }
     for name in rows_only:
         df = to_pandas(qs[name](SF_DIR))
         assert df is not None

@@ -146,3 +146,30 @@ def test_embedding_lsh_recall(ray_session, tmp_path):
     got = {tuple(p) for p in approx[["vec_a", "vec_b"]].to_numpy()}
     # near-identical vectors share every hyperplane side (w.h.p.)
     assert {(j, 40 + j) for j in range(5)} <= got
+
+
+def test_ann_ivf_full_probe_equals_brute_force(ray_session):
+    """nprobe == ncentroids must reproduce exact brute-force top-k."""
+    from turboxsl_ray.pipelines.vectors import q_ann_ivf, q_ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_ann_topk(sf)
+    full = q_ann_ivf(sf, nprobe=16, ncentroids=16)
+    pd_exact = exact.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+    pd_full = full.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pd_exact, pd_full)
+
+
+def test_ann_ivf_partial_probe_recall(ray_session):
+    """Partial probing keeps decent recall on the synthetic embeddings."""
+    from turboxsl_ray.pipelines.vectors import q_ann_ivf, q_ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_ann_topk(sf)
+    approx = q_ann_ivf(sf, nprobe=8, ncentroids=16)
+    truth = {tuple(p) for p in exact[["qid", "vec_id"]].to_numpy()}
+    got = {tuple(p) for p in approx[["qid", "vec_id"]].to_numpy()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f}"

@@ -291,3 +291,39 @@ def q_event_counts(sf_dir: str) -> pd.DataFrame:
     agg["sum_value"] = agg["sum_c"] / 100.0
     agg["avg_value"] = agg["sum_c"] / (agg["n"] * 100.0)
     return agg.drop(columns=["sum_c"])
+
+
+def q_props_extract(sf_dir: str) -> Dataset:
+    """Parse a text payload column into typed values (the
+    exsl:node-set "string -> tree" analog, functions.c:1084-1099):
+    events.props carries '{"k": N}' JSON — extract k as int64 with a
+    vectorized regex kernel, then derive a bucket label."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        bucket = pc.if_else(
+            pc.greater_equal(k, 50), "high", pc.if_else(pc.greater_equal(k, 20), "mid", "low")
+        )
+        return pa.table(
+            {
+                "event_id": as_array(t["event_id"]),
+                "k": as_array(k),
+                "k_bucket": as_array(bucket),
+            }
+        )
+
+    return map_partitions(ds, fn)
+
+
+def q_union_streams(sf_dir: str) -> Dataset:
+    """Stream union (xsl selection union '|', xpath.c:600-619 — concat
+    without dedup): click events ∪ purchase events as one Dataset."""
+    def filtered(kind: str) -> Dataset:
+        ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+        return map_partitions(
+            ds, lambda t, k=kind: t.filter(pc.equal(t["event_type"], k))
+        )
+
+    return filtered("click").union(filtered("purchase"))

@@ -213,3 +213,132 @@ def q_ann_lsh_buckets(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> pd.Data
     b = np.maximum(out["vec_a"], out["vec_b"])
     out["vec_a"], out["vec_b"] = a, b
     return out.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the structured scale path
+# --------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 6
+IVF_ITERS = 4
+
+
+def _kmeans_partial(t: pa.Table, cents: np.ndarray) -> pa.Table:
+    """Per-block k-means partial: per-centroid vector sum + count."""
+    ids, x = _block_matrix(t)
+    if len(ids) == 0:
+        return pa.table({"cid": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "vsum": pa.array([], pa.list_(pa.float64()))})
+    assign = np.argmax(x @ cents.T, axis=1)
+    k, dim = cents.shape
+    sums = np.zeros((k, dim))
+    np.add.at(sums, assign, x)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    present = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "cid": pa.array(present, type=pa.int64()),
+            "n": pa.array(counts[present]),
+            "vsum": pa.array(list(sums[present])),
+        }
+    )
+
+
+def train_centroids(sf_dir: str, k: int = IVF_CENTROIDS, iters: int = IVF_ITERS) -> np.ndarray:
+    """Distributed Lloyd iterations: per-block partial sums + tiny
+    driver combine per round (the data never leaves the workers).
+    Deterministic: init = the first k vectors by vec_id, cosine metric
+    (centroids renormalized each round)."""
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.stages.aggregate import broadcast, collect_tables
+
+    init = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id").slice(0, k)
+    _ids, cents = _block_matrix(init)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(iters):
+        ref = broadcast(cents)
+        ds = read_embeddings(sf_dir)
+        partials = map_partitions(
+            ds, lambda t: _kmeans_partial(t, ray.get(ref))
+        )
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for tbl in collect_tables(partials):
+            cid = tbl["cid"].to_numpy()
+            counts[cid] += tbl["n"].to_numpy()
+            vs = np.array(tbl["vsum"].to_pylist())
+            sums[cid] += vs
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None]
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def q_ann_ivf(
+    sf_dir: str,
+    k: int = ANN_K,
+    n_queries: int = ANN_NUM_QUERIES,
+    nprobe: int = IVF_NPROBE,
+    ncentroids: int = IVF_CENTROIDS,
+) -> pd.DataFrame:
+    """IVF ANN top-k: train centroids distributed, probe only the
+    ``nprobe`` closest inverted lists per query. With nprobe ==
+    ncentroids this EQUALS brute force (pinned by tests); smaller
+    nprobe trades recall for a 1/ncentroids-ish compute cut — the
+    path that matters when n² flops stop being affordable."""
+    cents = train_centroids(sf_dir, k=ncentroids)
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    from turboxsl_ray.stages.aggregate import broadcast
+
+    ref = broadcast({"qids": qids, "q": qn, "cents": cents, "probes": probes})
+
+    ds = read_embeddings(sf_dir)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        ids, x = _block_matrix(t)
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if len(ids) == 0:
+            return empty
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        assign = np.argmax(xn @ side["cents"].T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(side["qids"]):
+            probe_mask = np.isin(assign, side["probes"][qi])
+            probe_mask &= ids != qid
+            if not probe_mask.any():
+                continue
+            cand = np.flatnonzero(probe_mask)
+            s = xn[cand] @ side["q"][qi]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qid, dtype=np.int64))
+            out_v.append(ids[cand[top]])
+            out_s.append(s[top])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = map_partitions(ds, local_topk).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(columns=["qid", "vec_id", "sim"])
+    partials = partials.sort_values(
+        ["qid", "sim", "vec_id"], ascending=[True, False, True], kind="stable"
+    )
+    out = partials.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    out["sim"] = out["sim"].round(4)
+    return out[["qid", "vec_id", "sim"]]

@@ -200,6 +200,21 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_value
            FROM events GROUP BY event_type""",
     ),
+    "props_extract": (
+        relational.q_props_extract,
+        """SELECT event_id,
+                  CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+                  CASE WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) >= 50 THEN 'high'
+                       WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) >= 20 THEN 'mid'
+                       ELSE 'low' END AS k_bucket
+           FROM events""",
+    ),
+    "union_streams": (
+        relational.q_union_streams,
+        """SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'""",
+    ),
     # ---- text analysis / dedup ----
     "token_stats": (
         text.q_token_stats,
@@ -290,6 +305,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {vectors.PAIR_THRESHOLD}""",
     ),
     "ann_lsh_buckets": (vectors.q_ann_lsh_buckets, None),
+    "ann_ivf": (vectors.q_ann_ivf, None),  # approximate; recall pinned by tests
     # ---- multimodal plumbing ----
     "multimodal_meta": (
         multimodal.q_multimodal_meta,
