@@ -1,0 +1,80 @@
+"""Unit tests: co-partitioned large-large join and global sort/rank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_copartition_join_inner_and_left(ray_session):
+    import ray.data
+
+    from turboxsl_ray.stages.join import copartition_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "lv": pa.array(["a", "b", "c", "d"])})
+    right = pa.table({"k": pa.array([2, 2, 3, 9], pa.int64()),
+                      "rv": pa.array([20.0, 21.0, 30.0, 90.0])})
+
+    inner = copartition_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k",
+        num_partitions=4,
+    ).to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+    assert inner["k"].tolist() == [2, 2, 3]
+    assert inner["rv"].tolist() == [20.0, 21.0, 30.0]
+
+    lj = copartition_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k",
+        how="left", num_partitions=4,
+    ).to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+    assert len(lj) == 5  # 1 and 4 survive with null rv
+    assert lj[lj["k"] == 1]["rv"].isna().all()
+
+
+def test_copartition_join_rejects_overlap(ray_session):
+    import ray.data
+
+    from turboxsl_ray.stages.join import copartition_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1.0])})
+    with pytest.raises(ValueError, match="overlapping"):
+        copartition_join(ray.data.from_arrow(t), ray.data.from_arrow(t), on="k")
+
+
+def test_sorted_with_rank_matches_pandas(ray_session):
+    import ray.data
+
+    from turboxsl_ray.stages.global_sort import sorted_with_rank
+
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.normal(50, 10, size=5000), 2)  # plenty of ties
+    tbl = pa.table({"id": pa.array(np.arange(5000), pa.int64()),
+                    "v": pa.array(vals)})
+
+    out = sorted_with_rank(
+        lambda: ray.data.from_arrow(tbl), key="v", tiebreak="id",
+        descending=True, num_ranges=6,
+    ).to_pandas()
+    expect = tbl.to_pandas().sort_values(
+        ["v", "id"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    expect["rank"] = np.arange(1, len(expect) + 1)
+    got = out.sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "v", "rank"]], expect[["id", "v", "rank"]])
+
+
+def test_sorted_with_rank_ascending(ray_session):
+    import ray.data
+
+    from turboxsl_ray.stages.global_sort import sorted_with_rank
+
+    tbl = pa.table({"id": pa.array([3, 1, 2, 0], pa.int64()),
+                    "v": pa.array([5.0, 5.0, 1.0, 9.0])})
+    out = sorted_with_rank(
+        lambda: ray.data.from_arrow(tbl), key="v", tiebreak="id",
+        descending=False, num_ranges=2,
+    ).to_pandas().sort_values("rank")
+    assert out["id"].tolist() == [2, 1, 3, 0]
+    assert out["rank"].tolist() == [1, 2, 3, 4]

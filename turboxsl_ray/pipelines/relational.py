@@ -35,7 +35,7 @@ from turboxsl_ray.stages.aggregate import (
     groupby_small,
     topk,
 )
-from turboxsl_ray.stages.partitioning import map_partitions
+from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
 
 SHIP_CUTOFF = np.datetime64("1998-09-02T00:00:00.000000")
 
@@ -327,3 +327,88 @@ def q_union_streams(sf_dir: str) -> Dataset:
         )
 
     return filtered("click").union(filtered("purchase"))
+
+
+def q_order_lineitem_join(sf_dir: str) -> Dataset:
+    """LARGE x LARGE equi-join: orders ⋈ lineitem co-partitioned by
+    orderkey (stages/join.py — one exchange, per-block C hash join),
+    then a block-local per-order rollup (keys are already co-located,
+    so no second shuffle). Money in integer cents (oracle-exact)."""
+    from turboxsl_ray.kernels.arrays import to_cents
+    from turboxsl_ray.stages.join import copartition_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        price = as_array(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = as_array(t["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": as_array(pc.cast(t["l_orderkey"], pa.int64())),
+                "rev_c": pa.array(to_cents(price * (1 - disc))),
+            }
+        )
+
+    joined = copartition_join(
+        orders, map_partitions(li, li_prep), on="o_orderkey", how="inner"
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["o_orderkey", "o_orderpriority"], sort=False)["rev_c"]
+        out = g.agg(["size", "sum"]).reset_index()
+        out = out.rename(columns={"size": "n_lines", "sum": "rev_c"})
+        out["n_lines"] = out["n_lines"].astype(np.int64)
+        out["revenue"] = out.pop("rev_c").astype(np.int64) / 100.0
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return map_partitions(joined, rollup)
+
+
+def q_distinct_parts_by_flag(sf_dir: str) -> pd.DataFrame:
+    """High-cardinality COUNT(DISTINCT): per-block distinct pairs →
+    one shuffle by the distinct key → per-block distinct again →
+    partial counts → tiny driver sum. The full rows never shuffle,
+    only the (flag, partkey) pair stream."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+
+    pairs = map_partitions(ds, local_distinct)
+    parts = partition_by_conv(pairs, 16, keys=["l_partkey"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        d = t.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+        g = d.group_by("l_returnflag").aggregate([("l_partkey", "count")])
+        return g.rename_columns(["l_returnflag", "n"])
+
+    from turboxsl_ray.stages.aggregate import collect_tables
+
+    acc: dict[str, int] = {}
+    for t in collect_tables(map_partitions(parts, count_partial)):
+        for k, n in zip(t["l_returnflag"].to_pylist(), t["n"].to_pylist()):
+            acc[k] = acc.get(k, 0) + int(n)
+    out = pd.DataFrame(
+        {"l_returnflag": list(acc), "n_parts": np.array(list(acc.values()), np.int64)}
+    )
+    return out
+
+
+def q_global_rank(sf_dir: str) -> Dataset:
+    """Global total order with exact ranks (stages/global_sort.py):
+    every event ranked by value DESC (ties by event_id) via
+    sample → exact range counts → range shuffle → per-range rank."""
+    from turboxsl_ray.stages.global_sort import sorted_with_rank
+
+    return sorted_with_rank(
+        lambda: read_table(sf_dir, "events", columns=["event_id", "value"]),
+        key="value",
+        tiebreak="event_id",
+        descending=True,
+        num_ranges=8,
+    )

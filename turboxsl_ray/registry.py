@@ -215,6 +215,25 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
            UNION ALL
            SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'""",
     ),
+    "order_lineitem_join": (
+        relational.q_order_lineitem_join,
+        """SELECT o.o_orderkey, o.o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_lines,
+                  SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY o.o_orderkey, o.o_orderpriority""",
+    ),
+    "distinct_parts_by_flag": (
+        relational.q_distinct_parts_by_flag,
+        """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "global_rank": (
+        relational.q_global_rank,
+        """SELECT event_id, value,
+                  CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rank
+           FROM events""",
+    ),
     # ---- text analysis / dedup ----
     "token_stats": (
         text.q_token_stats,

@@ -1,0 +1,120 @@
+"""Global total order with exact ranks — the scalable two-pass plan.
+
+``xsl:sort`` produces a totally ordered selection with fresh 1-based
+positions (/root/reference/src/xpath.c:484-576, re-numbering at
+:560-567 — via bubble sort under a mutex). At 10^12 rows a global sort
+must never funnel through one worker; the classic plan:
+
+1. SAMPLE: per-block stride samples of the key → driver picks
+   ``num_ranges - 1`` ascending split points (balance only — never
+   correctness).
+2. COUNT: per-block partial counts per range → driver computes exact
+   global range offsets (tiny: blocks × ranges numbers move).
+3. PLACE: tag each row with its range id (all equal keys land in ONE
+   range by construction), hash-repartition by range id, sort each
+   range block, rank = range offset + local position.
+
+Equal keys are broken by the ``tiebreak`` column, so ranks are total
+and deterministic — the reference's ordered-result-slot guarantee
+(instructions.c:131-143) without any shared mutable slot array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from turboxsl_ray.kernels.arrays import as_array
+from turboxsl_ray.stages.aggregate import broadcast, collect_tables
+from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
+
+RANGE_COL = "__range"
+
+
+def sorted_with_rank(
+    ds_factory,
+    *,
+    key: str,
+    tiebreak: str,
+    descending: bool = False,
+    num_ranges: int = 8,
+    sample_stride: int = 101,
+) -> Dataset:
+    """Rank every row under total order (key, tiebreak); appends an
+    int64 1-based ``rank`` column.
+
+    ``ds_factory``: zero-arg callable returning the input Dataset —
+    the plan scans the input twice (sample+count, then place), and a
+    fresh Dataset per pass keeps both streaming.
+    """
+    import ray
+
+    sign = -1.0 if descending else 1.0
+
+    def keyvals(t: pa.Table) -> np.ndarray:
+        return as_array(t[key]).to_numpy(zero_copy_only=False).astype(np.float64) * sign
+
+    # -- pass 1a: stride-sample keys per block (balance heuristic)
+    def sample_block(t: pa.Table) -> pa.Table:
+        kv = keyvals(t)[::sample_stride]
+        return pa.table({"k": pa.array(kv, type=pa.float64())})
+
+    samples = np.sort(
+        np.concatenate(
+            [t["k"].to_numpy() for t in collect_tables(map_partitions(ds_factory(), sample_block))]
+            or [np.zeros(1)]
+        )
+    )
+    qs = np.linspace(0, 1, num_ranges + 1)[1:-1]
+    bounds = np.unique(np.quantile(samples, qs)) if len(samples) else np.array([])
+    bref = broadcast(bounds)
+
+    # -- pass 1b: exact per-range counts → global offsets
+    def count_block(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        rid = np.searchsorted(b, keyvals(t), side="right")
+        cnt = np.bincount(rid, minlength=len(b) + 1)
+        return pa.table(
+            {"rid": pa.array(np.arange(len(cnt), dtype=np.int64)),
+             "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for t in collect_tables(map_partitions(ds_factory(), count_block)):
+        counts[t["rid"].to_numpy()] += t["n"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    oref = broadcast(offsets)
+
+    # -- pass 2: place, shuffle by range, sort + rank per range block
+    def place(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        rid = np.searchsorted(b, keyvals(t), side="right")
+        return t.append_column(RANGE_COL, pa.array(rid.astype(np.int64)))
+
+    placed = map_partitions(ds_factory(), place)
+    parts = partition_by_conv(placed, max(len(bounds) + 1, 1), keys=[RANGE_COL])
+
+    order = "descending" if descending else "ascending"
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns([RANGE_COL]).append_column(
+                "rank", pa.array([], pa.int64())
+            )
+        offs = ray.get(oref)
+        # tiebreak stays ASCENDING regardless of key direction (matches
+        # ROW_NUMBER() OVER (ORDER BY key DESC, tiebreak))
+        t = t.sort_by([(RANGE_COL, "ascending"), (key, order), (tiebreak, "ascending")])
+        rid = as_array(t[RANGE_COL]).to_numpy()
+        # local position within each contiguous range run
+        starts = np.concatenate(([True], rid[1:] != rid[:-1]))
+        idx = np.arange(len(rid), dtype=np.int64)
+        seg_first = np.maximum.accumulate(np.where(starts, idx, 0))
+        rank = offs[rid] + (idx - seg_first) + 1
+        return t.drop_columns([RANGE_COL]).append_column(
+            "rank", pa.array(rank, type=pa.int64())
+        )
+
+    return map_partitions(parts, rank_block)

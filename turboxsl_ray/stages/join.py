@@ -1,0 +1,93 @@
+"""Large-large equi-join: co-partition both sides by the key, join
+per block.
+
+The broadcast path (stages/aggregate.broadcast) covers small
+dimensions — the reference's ``document()`` lookup. When BOTH sides
+are large, neither fits a broadcast: align schemas, tag rows with
+``__src``, union the two streaming Datasets, hash-repartition ONCE by
+the join key, and run a C-speed hash join inside each block (both
+sides of every key are now co-located). Same single-exchange shape as
+the as-of join (stages/asof_join.py), with equality instead of
+backward-nearest semantics.
+
+Reference analog: ``key(name, value)`` over a large secondary document
+— which the reference re-scans linearly per call
+(/root/reference/src/functions.c:1115-1165, admitted in TODO:15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from turboxsl_ray.kernels.arrays import as_array
+from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
+
+SRC_COL = "__src"
+
+
+def copartition_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Equi-join two large Datasets on ``on`` (non-key column names
+    must be disjoint). ``how`` in {"inner", "left"}."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
+
+    def _schema(ds: Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", s)
+        if not isinstance(base, pa.Schema):
+            base = pa.schema(list(zip(s.names, s.types)))
+        return base
+
+    lschema, rschema = _schema(left), _schema(right)
+    lnames = list(lschema.names)
+    rnames = [n for n in rschema.names if n != on]
+    overlap = set(lnames) & set(rnames)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+
+    out_names = lnames + rnames + [SRC_COL]
+    out_types = {n: lschema.field(n).type for n in lnames}
+    for n in rnames:
+        out_types[n] = rschema.field(n).type
+    out_types[SRC_COL] = pa.int8()
+
+    def align(src: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = []
+            for name in out_names:
+                if name == SRC_COL:
+                    cols.append(pa.array(np.full(n, src, dtype=np.int8)))
+                elif name in t.column_names:
+                    cols.append(t[name].cast(out_types[name]))
+                else:
+                    cols.append(pa.nulls(n, type=out_types[name]))
+            return pa.table(dict(zip(out_names, cols)))
+
+        return fn
+
+    combined = map_partitions(left, align(0)).union(map_partitions(right, align(1)))
+    parts = partition_by_conv(combined, num_partitions, keys=[on])
+
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def block_join(t: pa.Table) -> pa.Table:
+        src = as_array(t[SRC_COL]).to_numpy(zero_copy_only=False)
+        lmask = pa.array(src == 0)
+        rmask = pa.array(src == 1)
+        lt = t.filter(lmask).select([*lnames])
+        rt = t.filter(rmask).select([on, *rnames])
+        # Arrow's C++ hash join, block-local (both sides co-located)
+        return lt.join(rt, keys=on, join_type=join_type)
+
+    return map_partitions(parts, block_join)
