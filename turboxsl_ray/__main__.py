@@ -1,0 +1,65 @@
+"""CLI: ``python -m turboxsl_ray run --input ... --output ...``.
+
+The turboxsltproc analog (/root/reference/xsltproc/turboxsltproc.c):
+init → build engine → process → write. This entry point OWNS the Ray
+session (guarded init, shutdown at exit); library code never does.
+
+On a real cluster the same module is the ``ray job submit`` payload:
+
+    ray job submit --working-dir . -- python -m turboxsl_ray run \
+        --input s3://bucket/transcripts --features s3://bucket/feats \
+        --output s3://bucket/out --num-partitions 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="turboxsl_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run the point-in-time feature pass")
+    run.add_argument("--input", required=True, help="transcripts parquet path/dir")
+    run.add_argument("--features", default=None, help="as-of feature table path/dir")
+    run.add_argument("--output", required=True, help="output directory")
+    run.add_argument("--num-partitions", type=int, default=64)
+    run.add_argument("--session-gap-minutes", type=int, default=15)
+    run.add_argument("--salt-threshold-rows", type=int, default=100_000)
+    run.add_argument("--no-resume", action="store_true")
+    run.add_argument("--num-cpus", type=int, default=None,
+                     help="local only; omit on a cluster")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False}
+        if args.num_cpus is not None:
+            kw.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kw)
+    try:
+        from turboxsl_ray.engine import Engine, EngineConfig
+
+        eng = Engine(
+            EngineConfig(
+                num_partitions=args.num_partitions,
+                session_gap_minutes=args.session_gap_minutes,
+                salt_threshold_rows=args.salt_threshold_rows,
+            )
+        )
+        metrics = eng.run(
+            args.input, args.features, args.output, resume=not args.no_resume
+        )
+        metrics.pop("manifest", None)
+        metrics.pop("stats", None)
+        print(json.dumps(metrics))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

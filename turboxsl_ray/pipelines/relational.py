@@ -412,3 +412,45 @@ def q_global_rank(sf_dir: str) -> Dataset:
         descending=True,
         num_ranges=8,
     )
+
+
+HOUR_US = 3_600_000_000
+
+
+def q_hourly_user_stats(sf_dir: str) -> Dataset:
+    """Tumbling time-window aggregate: per (user, hour) rollup of the
+    events stream — the windowed-aggregate operator over event time.
+    One shuffle by user; hour bucketing + rollup are block-local
+    (a user's whole timeline is co-located)."""
+    from turboxsl_ray.kernels.arrays import to_cents
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    parts = partition_by_conv(ds, 16, keys=["user_id"])
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "hour": pa.array([], pa.timestamp("us")),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        ts_us = as_array(t["ts"].cast(pa.int64())).to_numpy()
+        hour = (ts_us // HOUR_US) * HOUR_US
+        uid = as_array(t["user_id"]).to_numpy()
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False)
+        cents = to_cents(v)
+        order = np.lexsort((hour, uid))
+        uid, hour, cents = uid[order], hour[order], cents[order]
+        starts = np.concatenate(([True], (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])))
+        bounds = np.flatnonzero(starts)
+        sizes = np.diff(np.append(bounds, len(uid)))
+        sums = np.add.reduceat(cents, bounds)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[bounds], type=pa.int64()),
+                "hour": pa.array(hour[bounds], type=pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array(sizes, type=pa.int64()),
+                "sum_value": pa.array(sums / 100.0, type=pa.float64()),
+            }
+        )
+
+    return map_partitions(parts, rollup)

@@ -234,6 +234,13 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rank
            FROM events""",
     ),
+    "hourly_user_stats": (
+        relational.q_hourly_user_stats,
+        """SELECT user_id, date_trunc('hour', ts) AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n_events,
+                  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+           FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+    ),
     # ---- text analysis / dedup ----
     "token_stats": (
         text.q_token_stats,
