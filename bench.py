@@ -38,9 +38,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# headline input: ~3.9M turns; scaling input: ~26M turns (compute must
-# dominate fixed overhead for a meaningful strong-scaling slope)
-HEADLINE_CONVS = 15_000
+# headline input: ~13M turns; scaling input: ~21M turns (compute must
+# dominate fixed overhead for a meaningful throughput/scaling number)
+HEADLINE_CONVS = 40_000
 SCALING_CONVS = 80_000
 WEAK_CONVS = 20_000  # ~1/4 of SCALING_CONVS rows (weak-scaling pair)
 SYNTH_MEAN_TURNS = 12

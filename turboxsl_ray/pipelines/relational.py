@@ -454,3 +454,31 @@ def q_hourly_user_stats(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(parts, rollup)
+
+
+def q_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT l_partkey) via HyperLogLog: one
+    register array per block (a few KB), elementwise-max merge on the
+    driver — no shuffle at all. Rows-only driver check; the error
+    bound (~1.04/sqrt(2^p) ≈ 1.6% at p=12) is pinned by tests against
+    the exact count."""
+    from turboxsl_ray.kernels.sketches import hll_estimate, hll_merge, hll_partial
+    from turboxsl_ray.stages.aggregate import collect_tables
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_partial(t["l_partkey"])
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    blobs = []
+    for t in collect_tables(map_partitions(ds, partial)):
+        blobs.extend(np.frombuffer(b, dtype=np.uint8) for b in t["regs"].to_pylist())
+    est = hll_estimate(hll_merge(blobs))
+    return pd.DataFrame({"approx_n_parts": np.array([round(est)], np.int64)})
+
+
+def sample_dataset(ds: Dataset, fraction: float, seed: int = 42) -> Dataset:
+    """Seeded row sampling (bench subsets; the reference has no
+    sampling operator, SURVEY.md §2.4)."""
+    return ds.random_sample(fraction, seed=seed)

@@ -305,6 +305,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   floor(length(text) / 7.0 + 0.5) AS len_r7
            FROM documents""",
     ),
+    "approx_distinct_parts": (relational.q_approx_distinct_parts, None),  # sketch, error pinned by tests
     "minhash_lsh": (text.q_minhash_lsh, None),  # LSH not SQL-expressible
     "simhash": (text.q_simhash, None),
     "lang_id": (text.q_lang_id, None),
