@@ -6,7 +6,7 @@ XML+XSLT transformation library, see /root/reference) as idiomatic
 streaming ``ray.data.Dataset`` stages:
 
 - per-record rule dispatch (ref: templates.c:435-487)  → vectorized
-  masked projections (:mod:`turboxsl_ray.stages.rules`)
+  masked projections (:mod:`turboxsl_ray.stages.dispatch`)
 - sibling-axis window navigation (ref: xpath.c:359-428) → segment-
   vectorized lag/lead/gap/session kernels
   (:mod:`turboxsl_ray.kernels.windows`)
@@ -26,3 +26,17 @@ __version__ = "0.1.0"
 from turboxsl_ray.context import ensure_hash_shuffle, tune_context  # noqa: F401
 
 TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing ray.data at package
+    # import time — the __ray_entry__ contract loads this module early)
+    if name == "Engine":
+        from turboxsl_ray.engine import Engine
+
+        return Engine
+    if name == "EngineConfig":
+        from turboxsl_ray.engine import EngineConfig
+
+        return EngineConfig
+    raise AttributeError(name)
