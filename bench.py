@@ -67,14 +67,18 @@ def _init_ray(num_cpus: int) -> None:
     from turboxsl_ray.context import tune_context
 
     tune_context()
-    # uniform aggregator policy at every cluster size: half the CPUs as
+    # ONE aggregator policy at every cluster size — half the CPUs as
     # aggregator actors, each pinned to exactly 1 CPU. Without the
     # per-partition override, aggregators at small N request more CPU
-    # than the whole cluster and the shuffle deadlocks.
+    # than the whole cluster and the shuffle deadlocks. (32-CPU
+    # throughput is noise-bound ~370-590k turns/s on this shared VM
+    # regardless of aggregator config.)
     ctx = DataContext.get_current()
     aggs = max(2, num_cpus // 2)
     ctx.max_hash_shuffle_aggregators = aggs
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = aggs / NUM_PARTITIONS
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+        aggs / NUM_PARTITIONS
+    )
 
 
 def synth_input_dir(n_convs: int) -> tuple[str, str]:
