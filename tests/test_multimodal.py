@@ -64,3 +64,37 @@ def test_featurize_deterministic(ray_session):
     local = stage(encode_payload_block(docs)).to_pandas().sort_values("doc_id")
     lv = np.stack(local["feature"].to_numpy())
     np.testing.assert_array_equal(v, lv)
+
+
+def test_resize_stage(ray_session):
+    from turboxsl_ray.pipelines.multimodal import ResizeStage, payload_dataset
+
+    ds = payload_dataset(SF_DIR)
+    resized = ds.map_batches(
+        ResizeStage, fn_constructor_kwargs={"max_side": 32},
+        batch_size=64, batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    assert (resized["width"] <= 32).all() and (resized["height"] <= 32).all()
+    assert (resized["width"] >= 1).all()
+    # header stays parseable by the decode stage
+    from turboxsl_ray.pipelines.multimodal import DecodeStage
+
+    dec = DecodeStage()(
+        pa.table({"doc_id": pa.array(resized["doc_id"].head(10).to_numpy()),
+                  "payload": pa.array([bytes(b) for b in resized["payload"].head(10)],
+                                      pa.binary())})
+    ).to_pandas()
+    assert dec["decoded_ok"].all()
+
+
+def test_frame_sample_stage(ray_session):
+    from turboxsl_ray.pipelines.multimodal import FrameSampleStage, payload_dataset
+
+    ds = payload_dataset(SF_DIR)
+    frames = ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"stride": 4},
+        batch_size=64, batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    assert len(frames) > 500  # fan-out: more frames than docs
+    assert (frames["frame_idx"] % 4 == 0).all()
+    assert frames["frame"].map(len).max() <= 16

@@ -135,6 +135,71 @@ class FeaturizeStage:
         )
 
 
+class ResizeStage:
+    """Actor-pool resize stage (STUB codec): recomputes the header's
+    width/height to the target box preserving aspect ratio and
+    truncates the fake payload body proportionally — the real
+    implementation would swap in PIL/libvips inside ``__call__`` with
+    zero changes to the Ray plumbing."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side  # real: init codec/thread pool here
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = as_array(t["payload"]).to_pylist()
+        out_payloads = []
+        widths = np.empty(len(payloads), dtype=np.int32)
+        heights = np.empty(len(payloads), dtype=np.int32)
+        for i, p in enumerate(payloads):
+            w, h = struct.unpack("<II", p[8:16])
+            scale = min(self.max_side / max(w, h), 1.0)
+            nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+            body = p[HEADER_LEN:]
+            nbody = body[: max(int(len(body) * scale * scale), 1)]
+            widths[i], heights[i] = nw, nh
+            out_payloads.append(HEADER + struct.pack("<II", nw, nh) + nbody)
+        return pa.table(
+            {
+                "doc_id": as_array(t["doc_id"]),
+                "payload": pa.array(out_payloads, type=pa.binary()),
+                "format": as_array(t["format"]),
+                "width": pa.array(widths, type=pa.int32()),
+                "height": pa.array(heights, type=pa.int32()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler (STUB): treats the payload body as a
+    sequence of fixed-size "frames" and emits every ``stride``-th one
+    as its own row (one input row → many output rows, the flat_map
+    shape video pipelines need)."""
+
+    FRAME_BYTES = 16
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = as_array(t["payload"]).to_pylist()
+        ids = as_array(t["doc_id"]).to_numpy()
+        out_id, out_frame_idx, out_frame = [], [], []
+        for i, p in enumerate(payloads):
+            body = p[HEADER_LEN:]
+            n_frames = max(len(body) // self.FRAME_BYTES, 0)
+            for fi in range(0, n_frames, self.stride):
+                out_id.append(int(ids[i]))
+                out_frame_idx.append(fi)
+                out_frame.append(body[fi * self.FRAME_BYTES:(fi + 1) * self.FRAME_BYTES])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_frame_idx, type=pa.int32()),
+                "frame": pa.array(out_frame, type=pa.binary()),
+            }
+        )
+
+
 def payload_dataset(sf_dir: str) -> Dataset:
     return map_partitions(read_documents(sf_dir, ["doc_id", "text"]), encode_payload_block)
 
