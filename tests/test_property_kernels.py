@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): the as-of kernel and the window
+kernels against pandas oracles on arbitrary generated inputs — the
+test discipline the reference never had (SURVEY.md §5.1: golden corpus
+only, no randomized testing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def keyed_series(draw, max_keys=5, max_rows=60):
+    """Sorted (key_codes, ts) arrays with duplicates allowed."""
+    n = draw(st.integers(0, max_rows))
+    keys = draw(
+        st.lists(st.integers(0, max_keys - 1), min_size=n, max_size=n)
+    )
+    ts = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
+    arr = sorted(zip(keys, ts))
+    k = np.array([a for a, _ in arr], dtype=np.int64)
+    t = np.array([b for _, b in arr], dtype=np.int64)
+    return k, t
+
+
+@given(left=keyed_series(), right=keyed_series())
+@settings(max_examples=200, deadline=None)
+def test_asof_kernel_matches_merge_asof(left, right):
+    from turboxsl_ray.kernels.asof import asof_backward_indices
+
+    lk, lt = left
+    rk, rt = right
+    idx = asof_backward_indices(lk, lt, rk, rt)
+
+    ldf = pd.DataFrame({"k": lk, "ts": lt})
+    rdf = pd.DataFrame({"k": rk, "ts": rt, "ridx": np.arange(len(rk))})
+    if len(ldf) == 0:
+        assert len(idx) == 0
+        return
+    merged = pd.merge_asof(
+        ldf.sort_values("ts", kind="stable"),
+        rdf.sort_values("ts", kind="stable"),
+        by="k", on="ts", direction="backward",
+    ).sort_values(["k", "ts"], kind="stable")
+    expect = merged["ridx"].to_numpy()
+    got = np.where(idx >= 0, idx.astype(float), np.nan)
+    # pandas picks the LAST duplicate-(k, ts) right row, as does the
+    # kernel; compare the VALUES the indices point to (ts equality),
+    # since equal rows may have different positions under stable sorts
+    ok_mask = ~np.isnan(expect)
+    assert (np.isnan(got) == np.isnan(expect)).all()
+    if ok_mask.any():
+        assert (rt[idx[ok_mask].astype(int)] == rt[expect[ok_mask].astype(int)]).all()
+        assert (rk[idx[ok_mask].astype(int)] == rk[expect[ok_mask].astype(int)]).all()
+
+
+@given(data=keyed_series(max_keys=4, max_rows=80),
+       gap=st.integers(1, 20))
+@settings(max_examples=150, deadline=None)
+def test_session_index_matches_pandas(data, gap):
+    from turboxsl_ray.kernels import windows as W
+
+    k, t = data
+    if len(k) == 0:
+        return
+    starts = W.segment_starts(k)
+    _new, sess = W.session_index(starts, t, gap)
+
+    df = pd.DataFrame({"k": k, "ts": t})
+    g = df.groupby("k", sort=False)["ts"]
+    new = g.diff().gt(gap) | g.diff().isna()
+    expect = (new.groupby(df["k"]).cumsum() - 1).astype(np.int64)
+    np.testing.assert_array_equal(sess, expect.to_numpy())
+
+
+@given(data=keyed_series(max_keys=4, max_rows=80), k_lag=st.integers(1, 5))
+@settings(max_examples=150, deadline=None)
+def test_lag_matches_pandas(data, k_lag):
+    from turboxsl_ray.kernels import windows as W
+
+    keys, ts = data
+    if len(keys) == 0:
+        return
+    starts = W.segment_starts(keys)
+    idx = W.lag_indices(starts, k_lag)
+    vals = W.take_with_null(pa.array(ts), idx).to_pandas()
+
+    df = pd.DataFrame({"k": keys, "v": ts})
+    expect = df.groupby("k", sort=False)["v"].shift(k_lag)
+    pd.testing.assert_series_equal(
+        vals.astype("float64"), expect.astype("float64"),
+        check_names=False, check_index=False,
+    )
+
+
+def test_localization_plural_rules_and_po():
+    from turboxsl_ray.functions.localization import Catalog, load_po, plural_ru
+
+    po = '''
+msgid "book"
+msgid_plural "books"
+msgstr[0] "книга"
+msgstr[1] "книги"
+msgstr[2] "книг"
+
+msgid "hello"
+msgstr "привет {name}"
+'''
+    cat = load_po(po, "ru")
+    n = pa.array([1, 2, 5, 11, 21, 22, 111], pa.int64())
+    out = cat.ngettext(pa.array(["book"] * 7), n).to_pylist()
+    assert out == ["книга", "книги", "книг", "книг", "книга", "книги", "книг"]
+    hello = cat.gettext(pa.array(["hello", "missing"]), name="мир").to_pylist()
+    assert hello == ["привет мир", "missing"]
+    np.testing.assert_array_equal(
+        plural_ru(np.array([1, 3, 7, 12, 101])), [0, 1, 2, 2, 0]
+    )
+
+
+def test_format_number_fixed_decimals():
+    from turboxsl_ray.functions import strings as F
+
+    out = F.format_number(pa.array([1.005, 2.0, -3.14159]), decimals=2)
+    assert out.to_pylist() == ["1.00", "2.00", "-3.14"]  # 1.005 stored as 1.00499...
