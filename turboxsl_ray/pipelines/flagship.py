@@ -85,6 +85,37 @@ class FlagshipConfig:
         return max((k for _, k in self.leads), default=0)
 
 
+def _blocks_hint(ds: Dataset) -> int:
+    """Upper-bound estimate of how many blocks the read will produce,
+    used to scale the skew pre-pass pigeonhole floor (a file can split
+    into a few blocks, never hundreds)."""
+    try:
+        n_files = len(ds.input_files())
+    except Exception:
+        n_files = 0
+    return max(1024, 4 * n_files)
+
+
+def _claim_attempt_slot(out_dir: str) -> int:
+    """Atomically claim the next global attempt slot (test hook for
+    deterministic worker-side failure injection; single-node FS)."""
+    import os
+
+    adir = os.path.join(out_dir, "_attempts")
+    os.makedirs(adir, exist_ok=True)
+    i = 0
+    while True:
+        try:
+            fd = os.open(
+                os.path.join(adir, f"slot-{i:05d}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return i
+        except FileExistsError:
+            i += 1
+
+
 def _part_ids(conv_hash: np.ndarray, salt: np.ndarray, num_partitions: int) -> np.ndarray:
     mixed = conv_hash + salt.astype(np.uint64) * _SALT_MIX
     return (mixed % np.uint64(num_partitions)).astype(np.int64)
@@ -183,10 +214,18 @@ def session_offsets(
     plan: dict[str, int],
     session_gap_us: int,
     num_partitions: int,
-) -> dict[tuple[str, int], int]:
+) -> tuple[dict[tuple[str, int], int], dict[str, int]]:
     """Exclusive prefix sums of per-(conv, salt-bucket) new-session
     counts — the tiny pre-pass that makes bucket-local session ordinals
-    globally exact.
+    globally exact — plus the EXACT per-conversation bucket count
+    (max salt + 1) for right-side replication.
+
+    Unlike the floored skew pre-pass (salting.conv_counts, which only
+    SELECTS which conversations to salt and may undercount), this pass
+    scans every row of the selected conversations with no floor, so the
+    returned bucket counts are exact: the right side is replicated to
+    precisely the buckets the left side will occupy, and no top bucket
+    can be left without its as-of feature rows.
 
     Scans the RAW left side filter-first (only rows of salted
     conversations survive the projection — 3 columns), computes global
@@ -202,7 +241,7 @@ def session_offsets(
     (conv, salt)) is the fallback if even counting must be split."""
     convs = set(plan)
     if not convs:
-        return {}
+        return {}, {}
 
     def project(tbl: pa.Table) -> pa.Table:
         conv = as_array(tbl["conv_id"]).to_pandas()
@@ -251,12 +290,14 @@ def session_offsets(
     for r in rows:
         per_conv.setdefault(r["conv_id"], []).append((r[SALT_COL], r["n_sessions"]))
     offsets: dict[tuple[str, int], int] = {}
+    plan_buckets: dict[str, int] = {}
     for conv, pairs in per_conv.items():
         acc = 0
         for salt, cnt in sorted(pairs):
             offsets[(conv, salt)] = acc
             acc += int(cnt)
-    return offsets
+        plan_buckets[conv] = max(s for s, _ in pairs) + 1
+    return offsets, plan_buckets
 
 
 def run_flagship(
@@ -278,21 +319,26 @@ def run_flagship(
     lineage.prepare_output_dir(out_dir)
     done = lineage.load_done(out_dir) if resume else set()
 
-    # --- skew pre-pass: which conversations need salting?
-    counts = conv_counts(left, min_total=cfg.salt_threshold_rows)
+    # --- skew pre-pass: which conversations need salting? The floored
+    # counts only SELECT the (tiny) set of mega conversations; every
+    # number that affects feature values (bucket count, session
+    # offsets) comes from the exact session_offsets pass below.
+    counts = conv_counts(
+        left, min_total=cfg.salt_threshold_rows, blocks_hint=_blocks_hint(left)
+    )
     plan = {c: cfg.bucket_rows for c in counts}
-    plan_buckets = {
-        c: int(-(-counts[c] // cfg.bucket_rows)) for c in counts
-    }
 
     lookback = max(cfg.salt_lookback, cfg.max_lag())
     lookahead = max(cfg.salt_lookahead, cfg.max_lead())
 
+    # exact pass over the selected conversations: session-ordinal
+    # offsets AND the exact bucket count per conversation (so the right
+    # side is replicated to every bucket the left side occupies)
+    offsets, plan_buckets = session_offsets(left, plan, cfg.session_gap_us, P)
+
     left_salted = map_partitions(
         left, lambda t: _salt_left(t, plan, lookback, lookahead, P)
     )
-
-    offsets = session_offsets(left, plan, cfg.session_gap_us, P)
 
     # --- align schemas and union the two sides
     lschema = _arrow_schema(left)
@@ -442,6 +488,16 @@ def run_flagship(
         import pyarrow.compute as pc
 
         for pid in np.unique(pids):
+            if fail_after_parts is not None:
+                # deterministic worker-side crash: exactly
+                # `fail_after_parts` partitions get written globally
+                # (atomic slot claim BEFORE the write), every later
+                # writer raises before touching its partition.
+                slot = _claim_attempt_slot(out_dir)
+                if slot >= fail_after_parts:
+                    raise RuntimeError(
+                        f"injected failure after {fail_after_parts} partitions"
+                    )
             sub = lt.filter(pa.array(pids == pid))
             rec = lineage.write_partition(
                 out_dir, int(pid), sub, input_id=input_id, config_fingerprint=fp
@@ -458,16 +514,7 @@ def run_flagship(
         )
 
     summary_ds = map_partitions(shuffled, block_fn)
-    if fail_after_parts is not None:
-        # test hook: consume lazily and abort after N partition summaries
-        seen = 0
-        for batch in summary_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-            seen += batch.num_rows
-            if seen >= fail_after_parts:
-                raise RuntimeError(f"injected failure after {seen} partitions")
-        summaries = []  # pragma: no cover
-    else:
-        summaries = summary_ds.take_all()
+    summaries = summary_ds.take_all()
 
     return {
         "partitions_written": len(summaries),

@@ -41,30 +41,44 @@ SALT_COL = "salt"
 OWNED_COL = "owned"
 
 
-# assumed upper bound on blocks a single conversation's rows can be
-# spread over; used for the pigeonhole floor below.
+# default upper bound on blocks a single conversation's rows can be
+# spread over; used for the pigeonhole floor below. Callers that know
+# the real block count (e.g. from the read op's file list) should pass
+# ``blocks_hint`` instead of relying on this constant.
 _MAX_BLOCKS_PER_CONV = 1024
 
 
 def conv_counts(
-    ds: Dataset, key: str = "conv_id", min_total: int | None = None
+    ds: Dataset,
+    key: str = "conv_id",
+    min_total: int | None = None,
+    blocks_hint: int = _MAX_BLOCKS_PER_CONV,
 ) -> dict[str, int]:
     """Turns per conversation via partial per-block counts + tiny
     driver-side combine — NO shuffle (the full rows never move, and
     neither do full per-conv dictionaries).
 
     With ``min_total`` set, each block drops conversations it sees
-    fewer than ``min_total / 1024`` times before emitting: by
+    fewer than ``min_total / blocks_hint`` times before emitting: by
     pigeonhole, any conversation with a true total > ``min_total``
-    spread over <= 1024 blocks must clear that floor in at least one
-    block, so no mega conversation is ever missed. Totals for the
-    survivors are undercounted by at most floor x blocks — a bounded
-    error on a *performance* decision (whether to salt a borderline
-    conversation), never on feature values.
+    spread over <= ``blocks_hint`` blocks must clear that floor in at
+    least one block, so no such conversation is ever missed. Totals
+    for the survivors are undercounted by at most floor x blocks, so
+    the result is only safe for SELECTING which conversations to treat
+    as mega — any quantity that affects feature values (bucket counts,
+    session offsets) must come from an exact follow-up pass over the
+    selected set (see pipelines/flagship.session_offsets).
+
+    ``blocks_hint`` should be an upper bound on the number of blocks
+    the scan produces; passing a larger value lowers the floor (more
+    per-block state, never wrong), an underestimate can miss a mega
+    conversation spread thinly over more blocks than the hint.
     """
     floor = 0
     if min_total is not None:
-        floor = max(2, int(min_total) // _MAX_BLOCKS_PER_CONV)
+        floor = max(1, int(min_total) // max(1, int(blocks_hint)))
+    if floor <= 1:
+        floor = 0  # keep-all: filtering below floor 1 is a no-op
 
     def partial(tbl: pa.Table) -> pa.Table:
         g = tbl.group_by(key).aggregate([(key, "count")])
