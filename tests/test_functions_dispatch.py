@@ -185,3 +185,41 @@ def test_streaming_window_rejects_leads():
 
     with pytest.raises(ValueError, match="anti-causal"):
         StreamingWindowStage(spec=WindowSpec(leads=(("value", 1),)))
+
+
+def test_streaming_window_enforces_contiguity():
+    """VERDICT r1 #6: a conversation reappearing after the actor closed
+    it must raise, not silently produce wrong state-carried features."""
+    import pyarrow as pa
+
+    from turboxsl_ray.stages.streaming_window import StreamingWindowStage
+    from turboxsl_ray.stages.window_stage import WindowSpec
+
+    def batch(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([c for c, _ in rows]),
+                "ts": pa.array(
+                    [t * 1_000_000 for _, t in rows], pa.timestamp("us")
+                ),
+                "turn_idx": pa.array([t for _, t in rows], pa.int64()),
+                "value": pa.array([float(t) for _, t in rows]),
+            }
+        )
+
+    spec = WindowSpec(lags=(("value", 1),))
+    stage = StreamingWindowStage(spec=spec)
+    stage(batch([("a", 0), ("a", 1), ("b", 0)]))  # closes "a"
+    with pytest.raises(ValueError, match="contract violated"):
+        stage(batch([("a", 2)]))  # "a" reappears non-contiguously
+
+    # within-batch non-adjacent runs also violate the sort contract
+    stage2 = StreamingWindowStage(spec=spec)
+    with pytest.raises(ValueError, match="contract violated"):
+        stage2(batch([("a", 0), ("b", 0), ("a", 1)]))
+
+    # a clean contiguous continuation still works
+    stage3 = StreamingWindowStage(spec=spec)
+    stage3(batch([("a", 0), ("a", 1)]))
+    out = stage3(batch([("a", 2), ("b", 0)]))
+    assert out["lag_value_1"].to_pylist() == [1.0, None]

@@ -56,7 +56,7 @@ def test_dedup_exact_planted(ray_session, dup_dir):
 def test_ngram_jaccard_finds_near_dups(ray_session, dup_dir):
     from turboxsl_ray.pipelines.text import q_ngram_jaccard
 
-    pairs = q_ngram_jaccard(dup_dir, threshold=0.5)
+    pairs = q_ngram_jaccard(dup_dir, threshold=0.5).to_pandas()
     got = {tuple(p) for p in pairs[["doc_a", "doc_b"]].to_numpy()}
     # exact copies have jaccard 1.0; near-dups ~ (28-3*2)/28-ish > 0.5
     for j in range(5):
@@ -74,16 +74,38 @@ def test_minhash_lsh_recall_vs_exact(ray_session, dup_dir):
     rows: detection probability at j=0.7 is ~1 - (1-0.24)^16 ~ 0.99)."""
     from turboxsl_ray.pipelines.text import q_minhash_lsh, q_ngram_jaccard
 
-    exact = q_ngram_jaccard(dup_dir, threshold=0.7)
+    exact = q_ngram_jaccard(dup_dir, threshold=0.7).to_pandas()
     truth = {tuple(p) for p in exact[["doc_a", "doc_b"]].to_numpy()}
     assert truth, "fixture must contain high-jaccard pairs"
-    est = q_minhash_lsh(dup_dir, est_threshold=0.5)
+    est = q_minhash_lsh(dup_dir, est_threshold=0.5).to_pandas()
     got = {tuple(p) for p in est[["doc_a", "doc_b"]].to_numpy()}
     missed = truth - got
     assert not missed, f"LSH missed {missed}"
     # estimates for exact copies must be 1.0
     perfect = est[est["doc_a"].isin(range(5)) & (est["doc_b"] >= 100)]
     assert (perfect["est_jaccard"] == 1.0).all()
+
+
+def test_ngram_jaccard_df_cap(ray_session, dup_dir):
+    """A cap above every gram's document frequency changes nothing; a
+    tight cap yields a subset with jaccard lower bounds (pruning only
+    drops shared-gram evidence) while still catching exact copies."""
+    from turboxsl_ray.pipelines.text import q_ngram_jaccard
+
+    full = q_ngram_jaccard(dup_dir).to_pandas()
+    same = q_ngram_jaccard(dup_dir, df_cap=10_000).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert full.sort_values(key).reset_index(drop=True).equals(
+        same.sort_values(key).reset_index(drop=True)
+    )
+    capped = q_ngram_jaccard(dup_dir, df_cap=2).to_pandas()
+    truth = {(a, b): j for a, b, j in full[[*key, "jaccard"]].to_numpy()}
+    for a, b, j in capped[[*key, "jaccard"]].to_numpy():
+        assert (int(a), int(b)) in truth
+        assert j <= truth[(int(a), int(b))] + 1e-9
+    # exact copies (df=2 grams) survive even the tightest useful cap
+    got = {(int(a), int(b)) for a, b in capped[key].to_numpy()}
+    assert {(j, 100 + j) for j in range(5)} <= got
 
 
 def test_simhash_near_dup_hamming(ray_session, dup_dir):
@@ -142,7 +164,7 @@ def test_embedding_lsh_recall(ray_session, tmp_path):
     exact = q_embedding_pairs(str(tmp_path), threshold=0.99).to_pandas()
     truth = {tuple(p) for p in exact[["vec_a", "vec_b"]].to_numpy()}
     assert {(j, 40 + j) for j in range(5)} <= truth
-    approx = q_ann_lsh_buckets(str(tmp_path), threshold=0.99)
+    approx = q_ann_lsh_buckets(str(tmp_path), threshold=0.99).to_pandas()
     got = {tuple(p) for p in approx[["vec_a", "vec_b"]].to_numpy()}
     # near-identical vectors share every hyperplane side (w.h.p.)
     assert {(j, 40 + j) for j in range(5)} <= got

@@ -22,6 +22,15 @@ def ensure_hash_shuffle() -> None:
     ctx = DataContext.get_current()
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Aggregator actors default to 0.0625 CPU/partition => a 16-way
+    # shuffle reserves 1 full CPU. A DAG chaining several shuffle
+    # operators (near-dup candidate pipelines chain up to 4) can then
+    # reserve every core on a small cluster and DEADLOCK with its own
+    # map tasks. Aggregators are mostly-idle mailboxes; make their CPU
+    # claim nominal unless the caller set an explicit policy (bench.py
+    # sets the uniform scaling policy itself).
+    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
 
 
 def tune_context(

@@ -53,14 +53,13 @@ def substring_before(arr, sep: str) -> pa.Array:
 
 
 def substring_after(arr, sep: str) -> pa.Array:
-    """functions.c:354-370 — '' when separator absent. Row-wise
-    ``str.partition`` (Arrow's list_element cannot lazily skip rows
-    whose split produced a single element)."""
-    vals = as_array(arr).to_pylist()
-    return pa.array(
-        [None if v is None else v.partition(sep)[2] for v in vals],
-        type=pa.string(),
-    )
+    """functions.c:354-370 — '' when separator absent. With
+    ``max_splits=1`` the second split element IS the remainder, so
+    joining the [1:2] list slice yields it — or '' when the separator
+    never matched (empty list joins to '')."""
+    parts = pc.split_pattern(arr, sep, max_splits=1)
+    rest = pc.list_slice(parts, 1, 2)
+    return as_array(pc.binary_join(rest, ""))
 
 
 def contains(arr, needle: str) -> pa.Array:

@@ -358,13 +358,19 @@ def q_order_lineitem_join(sf_dir: str) -> Dataset:
     )
 
     def rollup(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby(["o_orderkey", "o_orderpriority"], sort=False)["rev_c"]
-        out = g.agg(["size", "sum"]).reset_index()
-        out = out.rename(columns={"size": "n_lines", "sum": "rev_c"})
-        out["n_lines"] = out["n_lines"].astype(np.int64)
-        out["revenue"] = out.pop("rev_c").astype(np.int64) / 100.0
-        return pa.Table.from_pandas(out, preserve_index=False)
+        g = t.group_by(["o_orderkey", "o_orderpriority"]).aggregate(
+            [("rev_c", "count"), ("rev_c", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderkey": as_array(g["o_orderkey"]),
+                "o_orderpriority": as_array(g["o_orderpriority"]),
+                "n_lines": as_array(pc.cast(g["rev_c_count"], pa.int64())),
+                "revenue": as_array(
+                    pc.divide(pc.cast(g["rev_c_sum"], pa.float64()), 100.0)
+                ),
+            }
+        )
 
     return map_partitions(joined, rollup)
 

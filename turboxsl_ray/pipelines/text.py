@@ -173,99 +173,155 @@ def _doc_shingles(texts: list[str], n: int = NGRAM):
     return hashes, sizes
 
 
-def _shingle_pairs_block(t: pa.Table) -> pa.Table:
-    """documents block → (gram hash, doc_id) inverted-index rows."""
+def _shingle_rows_block(t: pa.Table) -> pa.Table:
+    """documents block → (gram hash, doc_id, doc gram count) rows.
+
+    Each doc's distinct-gram count rides along on every inverted-index
+    row (8 bytes/row), so the Jaccard denominator needs NO second
+    shingle pass and NO driver-side sizes table."""
     texts = as_array(t["text"]).to_pylist()
     ids = as_array(t["doc_id"]).to_numpy()
     hashes, sizes = _doc_shingles(texts)
     g = np.concatenate(hashes) if hashes else np.empty(0, dtype=np.uint64)
     d = np.repeat(ids, sizes)
+    nd = np.repeat(sizes, sizes)
     return pa.table(
-        {"g": pa.array(g.astype(np.int64)), "doc_id": pa.array(d, type=pa.int64())}
+        {
+            "g": pa.array(g.astype(np.int64)),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "nd": pa.array(nd, type=pa.int64()),
+        }
     )
 
 
-def _doc_sizes_block(t: pa.Table) -> pa.Table:
-    texts = as_array(t["text"]).to_pylist()
-    ids = as_array(t["doc_id"]).to_numpy()
-    _hashes, sizes = _doc_shingles(texts)
-    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "n": pa.array(sizes)})
+def _emit_gram_pairs(
+    g: np.ndarray, df_cap: int | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs (i < j within each gram group), fully vectorized
+    (no Python loop over groups). Input must be sorted by (g, doc_id).
 
-
-def _pairs_in_gram_groups(g: np.ndarray, d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """All (a < b) doc pairs sharing a gram; input sorted by (g, doc)."""
-    starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
-    ends = np.append(starts[1:], len(g))
-    la, lb = [], []
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m < 2:
-            continue
-        docs = d[s:e]
-        i, j = np.triu_indices(m, k=1)
-        la.append(docs[i])
-        lb.append(docs[j])
-    if not la:
-        z = np.empty(0, dtype=np.int64)
+    With ``df_cap`` set, grams shared by more than ``df_cap`` documents
+    emit nothing — the document-frequency prune that bounds the m² hot
+    -gram blow-up at scale (drops only stop-gram evidence; a recall
+    trade documented on q_ngram_jaccard_capped)."""
+    n = len(g)
+    z = np.empty(0, dtype=np.int64)
+    if n == 0:
         return z, z
-    return np.concatenate(la), np.concatenate(lb)
+    new = np.concatenate(([True], g[1:] != g[:-1]))
+    gid = np.cumsum(new) - 1
+    group_start = np.flatnonzero(new)
+    m = np.diff(np.append(group_start, n))  # docs per gram
+    m_row = m[gid]
+    pos = np.arange(n) - group_start[gid]
+    reps = m_row - 1 - pos  # pairs this row opens as the left element
+    if df_cap is not None:
+        reps = np.where(m_row > df_cap, 0, reps)
+    total = int(reps.sum())
+    if total == 0:
+        return z, z
+    a_idx = np.repeat(np.arange(n), reps)
+    excl = np.concatenate(([0], np.cumsum(reps)))[:-1]
+    b_idx = a_idx + (np.arange(total) - excl[a_idx]) + 1
+    return a_idx, b_idx
 
 
-def q_ngram_jaccard(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+_PAIR_PARTIAL_SCHEMA = pa.schema(
+    [("da", pa.int64()), ("db", pa.int64()), ("c", pa.int64()),
+     ("na", pa.int64()), ("nb", pa.int64())]
+)
+_PAIR_OUT_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def q_ngram_jaccard(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int | None = None,
+) -> Dataset:
     """Exact 3-gram-shingle Jaccard near-dup pairs (j >= threshold).
 
-    Plan: inverted index (gram → docs) shuffled by gram hash; per-block
-    pair emission with partial pair counts; tiny final combine; jaccard
-    against broadcast doc sizes. Unpruned, so it matches the SQL oracle
-    bit-for-bit; the scale path adds a document-frequency cap on grams
-    (and is what q_minhash_lsh approximates sub-quadratically)."""
+    Plan (fully distributed — nothing materializes on the driver):
+    ONE shingle pass emits (gram, doc, doc_gram_count) inverted-index
+    rows; shuffle by gram; vectorized per-gram pair emission + partial
+    per-block pair counts; second (tiny) shuffle by (da, db) combines
+    the partials and computes jaccard per block. Uncapped it matches
+    the SQL oracle bit-for-bit; ``df_cap`` prunes grams shared by more
+    documents than the cap (q_ngram_jaccard_capped), which bounds the
+    hot-gram m² pair blow-up at 100 TB at a documented recall cost."""
     ds = read_documents(sf_dir, ["doc_id", "text"])
 
-    sizes_df = (
-        map_partitions(ds, _doc_sizes_block).to_pandas().groupby("doc_id")["n"].sum()
-    )
-    size_ids = sizes_df.index.to_numpy(np.int64)
-    size_vals = sizes_df.to_numpy(np.int64)
-
-    inv = map_partitions(ds, _shingle_pairs_block)
+    inv = map_partitions(ds, _shingle_rows_block)
     by_gram = partition_by_conv(inv, 16, keys=["g"])
 
     def pair_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_PARTIAL_SCHEMA.empty_table()
         t = t.sort_by([("g", "ascending"), ("doc_id", "ascending")])
         g = as_array(t["g"]).to_numpy()
         d = as_array(t["doc_id"]).to_numpy()
-        a, b = _pairs_in_gram_groups(g, d)
-        if len(a) == 0:
-            return pa.table(
-                {"da": pa.array([], pa.int64()), "db": pa.array([], pa.int64()),
-                 "c": pa.array([], pa.int64())}
-            )
-        df = pd.DataFrame({"da": a, "db": b})
-        cnt = df.groupby(["da", "db"], sort=False).size().reset_index(name="c")
-        return pa.Table.from_pandas(cnt, preserve_index=False)
+        nd = as_array(t["nd"]).to_numpy()
+        ai, bi = _emit_gram_pairs(g, df_cap)
+        if len(ai) == 0:
+            return _PAIR_PARTIAL_SCHEMA.empty_table()
+        da, db, na, nb = d[ai], d[bi], nd[ai], nd[bi]
+        order = np.lexsort((db, da))
+        da, db, na, nb = da[order], db[order], na[order], nb[order]
+        first = np.concatenate(
+            ([True], (da[1:] != da[:-1]) | (db[1:] != db[:-1]))
+        )
+        idx = np.flatnonzero(first)
+        c = np.diff(np.append(idx, len(da)))
+        return pa.table(
+            {
+                "da": pa.array(da[idx]), "db": pa.array(db[idx]),
+                "c": pa.array(c.astype(np.int64)),
+                "na": pa.array(na[idx]), "nb": pa.array(nb[idx]),
+            },
+            schema=_PAIR_PARTIAL_SCHEMA,
+        )
 
-    from turboxsl_ray.stages.aggregate import collect_tables
+    partials = map_partitions(by_gram, pair_counts)
+    by_pair = partition_by_conv(partials, 16, keys=["da", "db"])
 
-    partials = collect_tables(map_partitions(by_gram, pair_counts))
-    if not partials:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    allp = pa.concat_tables(partials).to_pandas()
-    agg = allp.groupby(["da", "db"], sort=False)["c"].sum().reset_index()
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_OUT_SCHEMA.empty_table()
+        gt = t.group_by(["da", "db"]).aggregate(
+            [("c", "sum"), ("na", "min"), ("nb", "min")]
+        )
+        c = gt["c_sum"].to_numpy().astype(np.float64)
+        na = gt["na_min"].to_numpy().astype(np.float64)
+        nb = gt["nb_min"].to_numpy().astype(np.float64)
+        jraw = c / (na + nb - c)
+        # filter on the UNROUNDED value — the SQL oracle's WHERE does too
+        keep = jraw >= threshold
+        return pa.table(
+            {
+                "doc_a": as_array(gt["da"]).filter(pa.array(keep)),
+                "doc_b": as_array(gt["db"]).filter(pa.array(keep)),
+                "jaccard": pa.array(np.round(jraw[keep], 6), type=pa.float64()),
+            },
+            schema=_PAIR_OUT_SCHEMA,
+        )
 
-    pos_a = np.searchsorted(size_ids, agg["da"].to_numpy(np.int64))
-    pos_b = np.searchsorted(size_ids, agg["db"].to_numpy(np.int64))
-    na = size_vals[pos_a].astype(np.float64)
-    nb = size_vals[pos_b].astype(np.float64)
-    c = agg["c"].to_numpy(np.float64)
-    jraw = c / (na + nb - c)
-    out = pd.DataFrame(
-        {"doc_a": agg["da"], "doc_b": agg["db"], "jaccard": np.round(jraw, 6)}
-    )
-    # filter on the UNROUNDED value — the SQL oracle's WHERE does too
-    out = out[jraw >= threshold].reset_index(drop=True)
-    out["doc_a"] = out["doc_a"].astype(np.int64)
-    out["doc_b"] = out["doc_b"].astype(np.int64)
-    return out
+    return map_partitions(by_pair, finalize)
+
+
+NGRAM_DF_CAP = 128
+
+
+def q_ngram_jaccard_capped(sf_dir: str, df_cap: int = NGRAM_DF_CAP) -> Dataset:
+    """Document-frequency-capped near-dup pairs — the 100 TB variant.
+
+    Grams appearing in more than ``df_cap`` documents are pruned before
+    pair emission: a stop-gram shared by m documents would otherwise
+    emit m(m-1)/2 pairs into one block. Pruning loses only shared-gram
+    EVIDENCE (intersection counts can undercount), so reported jaccard
+    is a lower bound and very-common-boilerplate pairs may be missed —
+    a subset of the uncapped result (pinned by tests), no SQL oracle."""
+    return q_ngram_jaccard(sf_dir, df_cap=df_cap)
 
 
 # --------------------------------------------------------------------------
@@ -297,89 +353,149 @@ def _signatures(texts: list[str]):
     return sigs
 
 
-def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> pd.DataFrame:
+def _sig_matrix(col, k: int = None) -> np.ndarray:
+    """(n, K) uint64 matrix from a binary signature column, decoded
+    from the Arrow buffers (no per-row Python objects)."""
+    k = k or MINHASH_K
+    a = as_array(col)
+    n = len(a)
+    if n == 0:
+        return np.empty((0, k), dtype=np.uint64)
+    offs = np.frombuffer(
+        a.buffers()[1], dtype=np.int32, count=n + 1, offset=a.offset * 4
+    ).astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    idx = offs[:-1, None] + np.arange(k * 8)[None, :]
+    return np.ascontiguousarray(data[idx]).view(np.uint64).reshape(n, k)
+
+
+_CAND_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+_EST_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
+)
+
+
+def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
     """MinHash(K=64) + LSH(16 bands × 4 rows) candidate pairs with
     estimated Jaccard >= est_threshold.
 
-    Per-block signatures → band-bucket shuffle → per-bucket pairs
-    carrying signatures (512 B/doc/band here; at scale you'd join
-    signatures back by doc_id instead of carrying them) → estimated
-    jaccard = fraction of equal signature components. Rows-only check
-    (not SQL-expressible); accuracy is pinned by tests against
-    q_ngram_jaccard on planted near-dups."""
+    Scale plan (no driver-side combine anywhere):
+    1. ONE shingle+minhash pass → (doc_id, sig[64] uint64) table,
+       materialized once (512 B/doc — band rows never carry it);
+    2. band-bucket rows (bucket, doc_id) → shuffle by bucket →
+       vectorized per-bucket candidate pairs;
+    3. shuffle candidates by (doc_a, doc_b) → per-block distinct
+       (global dedup, since the pair is the shuffle key);
+    4. signatures joined back by doc id (two co-partitioned equi-joins)
+       → estimated jaccard = fraction of equal signature lanes.
+    Rows-only driver check (not SQL-expressible); recall vs exact
+    jaccard is pinned by tests on planted near-dups."""
     ds = read_documents(sf_dir, ["doc_id", "text"])
+    K = MINHASH_K
 
-    def band_rows(t: pa.Table) -> pa.Table:
+    def sig_block(t: pa.Table) -> pa.Table:
         texts = as_array(t["text"]).to_pylist()
         ids = as_array(t["doc_id"]).to_numpy()
         sigs = _signatures(texts)
-        rows_per_band = MINHASH_K // LSH_BANDS
+        # binary (not fixed_size_list): Arrow's hash join can't carry
+        # list payloads, and 512-byte binaries decode zero-copy-ish
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "sig": pa.array(
+                    [sigs[i].tobytes() for i in range(len(ids))], type=pa.binary()
+                ),
+            }
+        )
+
+    # computed once, reused by band emission AND the verify join-back
+    sigs = map_partitions(ds, sig_block).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = as_array(t["doc_id"]).to_numpy()
         n = len(ids)
+        if n == 0:
+            return pa.schema(
+                [("bucket", pa.int64()), ("doc_id", pa.int64())]
+            ).empty_table()
+        s = _sig_matrix(t["sig"], K)
+        rows_per_band = K // LSH_BANDS
         bucket = np.empty(n * LSH_BANDS, dtype=np.int64)
-        doc = np.repeat(ids, LSH_BANDS)
-        sig_bytes = [sigs[i].tobytes() for i in range(n) for _ in range(LSH_BANDS)]
         for bi in range(LSH_BANDS):
-            seg = sigs[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            seg = s[:, bi * rows_per_band : (bi + 1) * rows_per_band]
             h = np.full(n, np.uint64(bi + 1))
             for c in range(rows_per_band):
-                h = h * np.uint64(0x100000001B3) + seg[:, c]
+                h = h * np.uint64(0x100000001B3) + seg[:, c].astype(np.uint64)
             bucket[bi::LSH_BANDS] = h.astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(bucket),
-                "doc_id": pa.array(doc, type=pa.int64()),
-                "sig": pa.array(sig_bytes, type=pa.binary()),
+                "doc_id": pa.array(np.repeat(ids, LSH_BANDS), type=pa.int64()),
             }
         )
 
-    banded = map_partitions(ds, band_rows)
+    banded = map_partitions(sigs, band_rows)
     by_bucket = partition_by_conv(banded, 16, keys=["bucket"])
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CAND_SCHEMA.empty_table()
         t = t.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
         bk = as_array(t["bucket"]).to_numpy()
         d = as_array(t["doc_id"]).to_numpy()
-        sig_col = as_array(t["sig"])
-        a_idx, b_idx = [], []
-        starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
-        ends = np.append(starts[1:], len(bk))
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            i, j = np.triu_indices(m, k=1)
-            a_idx.append(s + i)
-            b_idx.append(s + j)
-        if not a_idx:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
-        ai = np.concatenate(a_idx)
-        bi = np.concatenate(b_idx)
-        keep = d[ai] != d[bi]
-        ai, bi = ai[keep], bi[keep]
-        sa = np.frombuffer(b"".join(sig_col.take(pa.array(ai)).to_pylist()), dtype=np.uint64).reshape(-1, MINHASH_K)
-        sb = np.frombuffer(b"".join(sig_col.take(pa.array(bi)).to_pylist()), dtype=np.uint64).reshape(-1, MINHASH_K)
-        est = (sa == sb).mean(axis=1)
+        ai, bi = _emit_gram_pairs(bk, None)  # same vectorized emitter
+        if len(ai) == 0:
+            return _CAND_SCHEMA.empty_table()
         da, db = d[ai], d[bi]
-        lo = np.minimum(da, db)
-        hi = np.maximum(da, db)
+        keep = da != db
+        da, db = da[keep], db[keep]
+        # within-block dedup (cross-block dedup happens after the
+        # pair-keyed shuffle below)
+        order = np.lexsort((db, da))
+        da, db = da[order], db[order]
+        first = np.concatenate(([True], (da[1:] != da[:-1]) | (db[1:] != db[:-1])))
         return pa.table(
-            {
-                "doc_a": pa.array(lo, type=pa.int64()),
-                "doc_b": pa.array(hi, type=pa.int64()),
-                "est_jaccard": pa.array(np.round(est, 6)),
-            }
+            {"doc_a": pa.array(da[first]), "doc_b": pa.array(db[first])},
+            schema=_CAND_SCHEMA,
         )
 
-    cand = map_partitions(by_bucket, bucket_pairs).to_pandas()
-    if cand.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-    out = (
-        cand.groupby(["doc_a", "doc_b"], sort=False)["est_jaccard"].max().reset_index()
-    )
-    return out[out["est_jaccard"] >= est_threshold].reset_index(drop=True)
+    by_pair = partition_by_conv(map_partitions(by_bucket, bucket_pairs), 16,
+                                keys=["doc_a", "doc_b"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CAND_SCHEMA.empty_table()
+        return t.group_by(["doc_a", "doc_b"]).aggregate([]).cast(_CAND_SCHEMA)
+
+    cand = map_partitions(by_pair, distinct_pairs)
+
+    from turboxsl_ray.stages.join import copartition_join
+
+    sig_a = map_partitions(sigs, lambda t: t.rename_columns(["doc_a", "sig_a"]))
+    sig_b = map_partitions(sigs, lambda t: t.rename_columns(["doc_b", "sig_b"]))
+    j = copartition_join(cand, sig_a, on="doc_a", num_partitions=16)
+    j = copartition_join(j, sig_b, on="doc_b", num_partitions=16)
+
+    def estimate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _EST_SCHEMA.empty_table()
+        sa = _sig_matrix(t["sig_a"], K)
+        sb = _sig_matrix(t["sig_b"], K)
+        est = (sa == sb).mean(axis=1)
+        keep = pa.array(est >= est_threshold)
+        return pa.table(
+            {
+                "doc_a": as_array(t["doc_a"]).filter(keep),
+                "doc_b": as_array(t["doc_b"]).filter(keep),
+                "est_jaccard": pa.array(
+                    np.round(est[est >= est_threshold], 6), type=pa.float64()
+                ),
+            },
+            schema=_EST_SCHEMA,
+        )
+
+    return map_partitions(j, estimate)
 
 
 # --------------------------------------------------------------------------

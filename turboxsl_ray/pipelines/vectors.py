@@ -31,8 +31,8 @@ PAIR_THRESHOLD = 0.35
 LSH_PLANES = 12
 
 
-def read_embeddings(sf_dir: str) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+def read_embeddings(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
 def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -45,11 +45,16 @@ def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """The tiny query-side read: predicate + projection pushed down to
+    the parquet scan, so only matching row groups / columns are read
+    (never the full table)."""
     import pyarrow.parquet as pq
-    import pyarrow.compute as pc_
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    t = t.filter(pc_.less(t["vec_id"], n_queries))
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
     return _block_matrix(t)
 
 
@@ -100,51 +105,71 @@ def q_ann_topk(sf_dir: str, k: int = ANN_K, n_queries: int = ANN_NUM_QUERIES) ->
     return out[["qid", "vec_id", "sim"]]
 
 
-def q_embedding_pairs(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> Dataset:
+EMB_TILE_ROWS = 8192
+
+_EMB_PAIR_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())]
+)
+
+
+@ray.remote
+def _pair_tile(ta: pa.Table, tb: pa.Table, same: bool, threshold: float) -> pa.Table:
+    """Compare two row tiles (block × block cosine matmul); emit only
+    pairs >= threshold, each unordered pair exactly once."""
+    ids_a, xa = _block_matrix(ta)
+    ids_b, xb = _block_matrix(tb)
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return _EMB_PAIR_SCHEMA.empty_table()
+    an = xa / np.linalg.norm(xa, axis=1, keepdims=True)
+    bn = xb / np.linalg.norm(xb, axis=1, keepdims=True)
+    sims = an @ bn.T
+    if same:
+        # one tile against itself: id order dedups (vec_ids are unique)
+        ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+        lo, hi = ids_a[ii], ids_b[jj]
+    else:
+        ii, jj = np.nonzero(sims >= threshold)
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+    if len(ii) == 0:
+        return _EMB_PAIR_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "vec_a": pa.array(lo, type=pa.int64()),
+            "vec_b": pa.array(hi, type=pa.int64()),
+            "sim": pa.array(np.round(sims[ii, jj], 4), type=pa.float64()),
+        },
+        schema=_EMB_PAIR_SCHEMA,
+    )
+
+
+def q_embedding_pairs(
+    sf_dir: str, threshold: float = PAIR_THRESHOLD, tile_rows: int = EMB_TILE_ROWS
+) -> Dataset:
     """Exact cosine near-dup pairs (vec_a < vec_b, sim >= threshold).
 
-    The full normalized matrix is broadcast once; each block compares
-    only its rows against it (distributed O(n²/blocks) flops). LSH
-    bucketing (q_ann_lsh_buckets) is the documented sub-quadratic
-    alternative when n² flops stop being affordable."""
-    import pyarrow.parquet as pq
-
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids, all_x = _block_matrix(full)
-    order = np.argsort(all_ids, kind="stable")
-    all_ids = all_ids[order]
-    all_xn = all_x[order] / np.linalg.norm(all_x[order], axis=1, keepdims=True)
-    ref = broadcast({"ids": all_ids, "x": all_xn})
-
-    ds = read_embeddings(sf_dir)
-
-    def pairs(t: pa.Table) -> pa.Table:
-        side = ray.get(ref)
-        ids, x = _block_matrix(t)
-        empty = pa.table({"vec_a": pa.array([], pa.int64()),
-                          "vec_b": pa.array([], pa.int64()),
-                          "sim": pa.array([], pa.float64())})
-        if len(ids) == 0:
-            return empty
-        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-        sims = xn @ side["x"].T  # (block, N)
-        # keep only (my_id < other_id) so each pair is emitted once
-        mask = (sims >= threshold) & (ids[:, None] < side["ids"][None, :])
-        bi, oj = np.nonzero(mask)
-        if len(bi) == 0:
-            return empty
-        return pa.table(
-            {
-                "vec_a": pa.array(ids[bi], type=pa.int64()),
-                "vec_b": pa.array(side["ids"][oj], type=pa.int64()),
-                "sim": pa.array(np.round(sims[bi, oj], 4), type=pa.float64()),
-            }
-        )
-
-    return map_partitions(ds, pairs)
+    Tiled all-pairs: the table is split into row tiles that live in the
+    object store; one Ray task per tile pair (i <= j) does the
+    block × block matmul and emits only passing pairs. No full-matrix
+    broadcast and no driver materialization — each tile ships from the
+    object store to at most T-1 consumers. (Raw Ray tasks here because
+    a self-cross-product is the one shape ``map_batches`` can't
+    express.) Exact all-pairs is inherently O(N²) flops; the
+    sub-quadratic gates at scale are q_ann_lsh_buckets / q_ann_ivf —
+    this is the SQL-oracle-checked exact baseline."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    n = ds.count()
+    tiles = max(1, -(-n // tile_rows))
+    refs = ds.repartition(tiles).to_arrow_refs()
+    out = [
+        _pair_tile.remote(refs[i], refs[j], i == j, threshold)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out)
 
 
-def q_ann_lsh_buckets(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> pd.DataFrame:
+def q_ann_lsh_buckets(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> Dataset:
     """Random-hyperplane LSH near-dup: the sub-quadratic scale path.
 
     Sign-bit signatures over LSH_PLANES seeded hyperplanes → bucket id;
@@ -206,13 +231,18 @@ def q_ann_lsh_buckets(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> pd.Data
             }
         )
 
-    out = map_partitions(by_bucket, bucket_pairs).to_pandas()
-    if out.empty:
-        return pd.DataFrame(columns=["vec_a", "vec_b", "sim"])
-    a = np.minimum(out["vec_a"], out["vec_b"])
-    b = np.maximum(out["vec_a"], out["vec_b"])
-    out["vec_a"], out["vec_b"] = a, b
-    return out.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True)
+    cand = map_partitions(by_bucket, bucket_pairs)
+    # cross-bucket dedup via a pair-keyed shuffle (same sim on every
+    # duplicate — min is just a deterministic pick), not on the driver
+    by_pair = partition_by_conv(cand, 16, keys=["vec_a", "vec_b"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMB_PAIR_SCHEMA.empty_table()
+        g = t.group_by(["vec_a", "vec_b"]).aggregate([("sim", "min")])
+        return g.rename_columns(["vec_a", "vec_b", "sim"]).cast(_EMB_PAIR_SCHEMA)
+
+    return map_partitions(by_pair, distinct)
 
 
 # --------------------------------------------------------------------------
@@ -255,7 +285,19 @@ def train_centroids(sf_dir: str, k: int = IVF_CENTROIDS, iters: int = IVF_ITERS)
 
     from turboxsl_ray.stages.aggregate import broadcast, collect_tables
 
-    init = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id").slice(0, k)
+    init = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    if init.num_rows < k:  # ids not dense from 0: fall back to full scan
+        init = (
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+            .sort_by("vec_id")
+            .slice(0, k)
+        )
     _ids, cents = _block_matrix(init)
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     for _ in range(iters):

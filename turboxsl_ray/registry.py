@@ -306,6 +306,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
            FROM documents""",
     ),
     "approx_distinct_parts": (relational.q_approx_distinct_parts, None),  # sketch, error pinned by tests
+    "ngram_jaccard_capped": (text.q_ngram_jaccard_capped, None),  # df-pruned recall, subset pinned by tests
     "minhash_lsh": (text.q_minhash_lsh, None),  # LSH not SQL-expressible
     "simhash": (text.q_simhash, None),
     "lang_id": (text.q_lang_id, None),

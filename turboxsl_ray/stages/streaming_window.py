@@ -57,12 +57,20 @@ class StreamingWindowStage:
         self.tail: dict[str, pa.Table] = {}          # last W raw rows
         self.session_base: dict[str, int] = {}       # abs session idx of tail[0]
         self.ffill_last: dict[tuple[str, str], object] = {}
+        # contract guard: conversations this actor has finished (a
+        # later batch started a different conversation). A finished
+        # conversation REAPPEARING means an upstream re-block split it
+        # across batches non-contiguously — state carry would silently
+        # produce wrong lag/session values, so we raise instead.
+        self._finished: set = set()
+        self._open_conv = None
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return tbl
         conv = as_array(tbl["conv_id"])
         first_conv = conv[0].as_py()
+        self._check_contiguity(conv, first_conv)
         prepended = 0
         state = self.tail.get(first_conv)
         if state is not None:
@@ -96,17 +104,42 @@ class StreamingWindowStage:
                 in_first_seg = W.segment_first_index(starts) == 0
                 fix = isnull & in_first_seg
                 if fix.any():
-                    vals = arr.to_pylist()
-                    for i in np.flatnonzero(fix):
-                        vals[i] = stored
+                    fixed = pc.if_else(
+                        pa.array(fix), pa.scalar(stored, type=arr.type), arr
+                    )
                     out = out.set_column(
-                        out.schema.get_field_index(name),
-                        name, pa.array(vals, type=arr.type)
+                        out.schema.get_field_index(name), name, as_array(fixed)
                     )
 
         # update state from the (unsliced) batch tail, then slice output
         self._update_state(tbl, out)
         return out.slice(prepended)
+
+    def _check_contiguity(self, conv: pa.Array, first_conv) -> None:
+        """Raise if a conversation this actor already finished shows up
+        again (the sorted-contiguous batch contract is violated and
+        state carry would be silently wrong)."""
+        starts = W.segment_starts_from_arrow(conv)
+        firsts = [conv[int(i)].as_py() for i in np.flatnonzero(starts)]
+        if len(set(firsts)) != len(firsts):
+            raise ValueError(
+                "streaming-window contract violated: a conversation appears "
+                "in two non-adjacent runs within one batch (input not sorted "
+                "by conv_id)"
+            )
+        if self._open_conv is not None and first_conv != self._open_conv:
+            self._finished.add(self._open_conv)
+        reappeared = [c for c in set(firsts) if c in self._finished]
+        if reappeared:
+            raise ValueError(
+                "streaming-window contract violated: conversation(s) "
+                f"{sorted(map(str, reappeared))[:5]} reappeared after being "
+                "finished — batches must keep each conversation contiguous "
+                "(partition_by_conv + sort_block upstream)"
+            )
+        # every conversation in this batch except the last is now closed
+        self._finished.update(firsts[:-1])
+        self._open_conv = firsts[-1]
 
     def _update_state(self, raw: pa.Table, computed: pa.Table) -> None:
         conv = as_array(raw["conv_id"])
