@@ -130,6 +130,22 @@ def test_flagship_salted_equals_unsalted(ray_session, tmp_path_factory):
     # and both equal the pandas oracle
     _compare(b, _oracle(left_tbl, right_tbl))
 
+    # manifest observability: per-partition byte/salt stats + the
+    # run-level plan record name the salted conversation and buckets
+    from turboxsl_ray.state import lineage
+
+    for rec in m_b["manifest"]:
+        assert rec["byte_size"] > 0
+        assert rec["salted_rows"] >= 0
+    assert sum(r["salted_rows"] for r in m_b["manifest"]) > 0
+    run_rec = lineage.load_run_record(out_b)
+    assert run_rec is not None
+    assert len(run_rec["salted_convs"]) >= 1
+    mega = run_rec["salted_convs"][0]
+    assert run_rec["plan_buckets"][mega] >= 2
+    assert set(run_rec["phase_sec"]) == {
+        "prepass_counts", "prepass_offsets", "main"}
+
 
 def test_no_temporal_leakage(ray_session, tmp_path_factory):
     """F3: poison every right-side row that is in the left row's future;

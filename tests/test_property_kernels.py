@@ -124,3 +124,36 @@ def test_format_number_fixed_decimals():
 
     out = F.format_number(pa.array([1.005, 2.0, -3.14159]), decimals=2)
     assert out.to_pylist() == ["1.00", "2.00", "-3.14"]  # 1.005 stored as 1.00499...
+
+
+def test_format_number_full_patterns():
+    """functions.c:449-709 picture grammar: grouping, min-int digits,
+    optional fraction digits, %, negative subpattern, NaN/inf,
+    decimal-format symbol overrides (transform.c:363-369)."""
+    from turboxsl_ray.functions.format_number import (
+        format_number,
+        register_decimal_format,
+    )
+
+    arr = pa.array([1234567.891, 0.5, -1234.5, 0.0, float("nan"), float("inf")])
+    assert format_number(arr, "#,##0.00").to_pylist() == [
+        "1,234,567.89", "0.50", "-1,234.50", "0.00", "NaN", "Infinity",
+    ]
+    assert format_number(arr, "#,##0.0;(#,##0.0)").to_pylist() == [
+        "1,234,567.9", "0.5", "(1,234.5)", "0.0", "NaN", "Infinity",
+    ]
+    assert format_number(pa.array([0.256, -0.04]), "0.0%").to_pylist() == [
+        "25.6%", "-4.0%",
+    ]
+    assert format_number(pa.array([3.14159, 2.0]), "00.#").to_pylist() == [
+        "03.1", "02",
+    ]
+    assert format_number(pa.array([2.0, 2.5, None]), "0.##").to_pylist() == [
+        "2", "2.5", None,
+    ]
+    register_decimal_format(
+        "de", decimal_separator=",", grouping_separator=".", minus_sign="−"
+    )
+    assert format_number(
+        pa.array([1234567.891, -3.5]), "#.##0,00", format_name="de"
+    ).to_pylist() == ["1.234.567,89", "−3,50"]

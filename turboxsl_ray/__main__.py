@@ -25,9 +25,13 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--input", required=True, help="transcripts parquet path/dir")
     run.add_argument("--features", default=None, help="as-of feature table path/dir")
     run.add_argument("--output", required=True, help="output directory")
-    run.add_argument("--num-partitions", type=int, default=64)
-    run.add_argument("--session-gap-minutes", type=int, default=15)
-    run.add_argument("--salt-threshold-rows", type=int, default=100_000)
+    run.add_argument("--spec", default=None,
+                     help="JSON pipeline spec (the compiled-processor "
+                          "analog; see turboxsl_ray/spec.py). CLI flags "
+                          "override spec values when given explicitly")
+    run.add_argument("--num-partitions", type=int, default=None)
+    run.add_argument("--session-gap-minutes", type=int, default=None)
+    run.add_argument("--salt-threshold-rows", type=int, default=None)
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--num-cpus", type=int, default=None,
                      help="local only; omit on a cluster")
@@ -41,15 +45,26 @@ def main(argv: list[str] | None = None) -> int:
             kw.update(address="local", num_cpus=args.num_cpus)
         ray.init(**kw)
     try:
+        from dataclasses import replace
+
         from turboxsl_ray.engine import Engine, EngineConfig
 
-        eng = Engine(
-            EngineConfig(
-                num_partitions=args.num_partitions,
-                session_gap_minutes=args.session_gap_minutes,
-                salt_threshold_rows=args.salt_threshold_rows,
+        if args.spec is not None:
+            from turboxsl_ray.spec import compile_engine_config, load_spec
+
+            cfg = compile_engine_config(load_spec(args.spec))
+        else:
+            cfg = EngineConfig()
+        overrides = {
+            k: v
+            for k, v in (
+                ("num_partitions", args.num_partitions),
+                ("session_gap_minutes", args.session_gap_minutes),
+                ("salt_threshold_rows", args.salt_threshold_rows),
             )
-        )
+            if v is not None
+        }
+        eng = Engine(replace(cfg, **overrides) if overrides else cfg)
         metrics = eng.run(
             args.input, args.features, args.output, resume=not args.no_resume
         )

@@ -53,13 +53,18 @@ def tune_context(
 
     ctx = DataContext.get_current()
     if read_min_blocks is None:
-        try:
-            import ray
+        import ray
 
-            read_min_blocks = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            read_min_blocks = 8
-    ctx.read_op_min_num_blocks = read_min_blocks
+        if ray.is_initialized():
+            try:
+                read_min_blocks = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                read_min_blocks = 8
+        # Ray not up yet (e.g. Engine constructed before the session):
+        # leave the knob alone — Engine.run re-applies once initialized,
+        # so a large cluster is never silently floored at a default.
+    if read_min_blocks is not None:
+        ctx.read_op_min_num_blocks = read_min_blocks
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
     if preserve_order is not None:

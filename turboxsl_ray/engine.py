@@ -69,6 +69,9 @@ class Engine:
         ``features`` may be Datasets or parquet paths. Returns run
         metrics incl. the lineage manifest; output is partitioned
         parquet under ``out_dir`` (resumable)."""
+        # re-apply context knobs now that Ray is certainly initialized
+        # (construction may have happened before the session existed)
+        tune_context()
         left = (
             ray.data.read_parquet(transcripts)
             if isinstance(transcripts, str)

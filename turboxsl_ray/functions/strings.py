@@ -177,11 +177,19 @@ def md5_hex(arr) -> pa.Array:
     )
 
 
-def format_number(arr, decimals: int = 2) -> pa.Array:
-    """Minimal format-number (functions.c:449-709): fixed decimals,
-    half-up like the reference's snprintf %f path."""
-    v = pc.cast(as_array(arr), pa.float64()).to_numpy(zero_copy_only=False)
-    return pa.array([f"{x:.{decimals}f}" for x in v], type=pa.string())
+def format_number(arr, decimals: int | None = None, pattern: str | None = None,
+                  format_name: str = "") -> pa.Array:
+    """format-number (functions.c:449-709). Full pattern grammar +
+    xsl:decimal-format registry live in functions/format_number.py;
+    ``decimals=N`` is sugar for the fixed pattern ``0.00...``."""
+    from turboxsl_ray.functions.format_number import format_number as _fmt
+
+    if pattern is None:
+        if decimals is not None:
+            pattern = "0" if decimals == 0 else "0." + "0" * decimals
+        else:
+            pattern = "0.###"
+    return _fmt(arr, pattern, format_name)
 
 
 for _name, _fn in {

@@ -121,6 +121,22 @@ def _part_ids(conv_hash: np.ndarray, salt: np.ndarray, num_partitions: int) -> n
     return (mixed % np.uint64(num_partitions)).astype(np.int64)
 
 
+def _map_plan(conv: np.ndarray, plan: dict, default: int = 0) -> np.ndarray:
+    """Per-row plan lookup. The plan holds only mega conversations, so
+    it is almost always tiny — a few vectorized equality scans beat a
+    per-row hash lookup; large plans fall back to pandas map."""
+    out = np.full(len(conv), default, dtype=np.int64)
+    if not plan:
+        return out
+    if len(plan) <= 16:
+        for c, v in plan.items():
+            out[conv == c] = v
+        return out
+    import pandas as pd
+
+    return pd.Series(conv).map(plan).fillna(default).to_numpy(np.int64)
+
+
 def _salt_left(tbl: pa.Table, plan: dict[str, int], lookback: int, lookahead: int, P: int) -> pa.Table:
     """salt + owned + part_id for transcript rows, with backward
     (lag context) and forward (lead context) boundary replicas."""
@@ -129,11 +145,7 @@ def _salt_left(tbl: pa.Table, plan: dict[str, int], lookback: int, lookahead: in
     turn = as_array(tbl["turn_idx"]).to_numpy().astype(np.int64)
     h = stable_hash64(tbl["conv_id"])
 
-    bucket_size = np.zeros(n, dtype=np.int64)
-    if plan:
-        import pandas as pd
-
-        bucket_size = pd.Series(conv).map(plan).fillna(0).to_numpy(np.int64)
+    bucket_size = _map_plan(conv, plan)
     salted = bucket_size > 0
     salt = np.zeros(n, dtype=np.int64)
     pos = np.zeros(n, dtype=np.int64)
@@ -171,12 +183,7 @@ def _salt_right(tbl: pa.Table, plan_buckets: dict[str, int], P: int) -> pa.Table
     n = tbl.num_rows
     conv = as_array(tbl["conv_id"]).to_pandas().to_numpy()
     h = stable_hash64(tbl["conv_id"])
-    if plan_buckets:
-        import pandas as pd
-
-        nb = pd.Series(conv).map(plan_buckets).fillna(1).to_numpy(np.int64)
-    else:
-        nb = np.ones(n, dtype=np.int64)
+    nb = _map_plan(conv, plan_buckets, default=1)
     reps = np.repeat(np.arange(n, dtype=np.int64), nb)
     offsets = np.repeat(np.cumsum(nb) - nb, nb)
     salt = (np.arange(len(reps), dtype=np.int64) - offsets).astype(np.int32)
@@ -243,12 +250,19 @@ def session_offsets(
     if not convs:
         return {}, {}
 
-    def project(tbl: pa.Table) -> pa.Table:
-        conv = as_array(tbl["conv_id"]).to_pandas()
-        mask = conv.isin(convs).to_numpy()
-        return tbl.filter(pa.array(mask)).select(["conv_id", "ts", "turn_idx"])
+    conv_set = pa.array(sorted(convs))
 
-    small = map_partitions(left, project)
+    def project(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(tbl["conv_id"], value_set=conv_set)
+        return tbl.filter(mask)
+
+    # select_columns FIRST: the projection pushes into the parquet
+    # read, so this pass never touches the fat text column
+    small = map_partitions(
+        left.select_columns(["conv_id", "ts", "turn_idx"]), project
+    )
     # tiny pre-pass: few shuffle partitions keep fixed startup cost down
     parts = partition_by_conv(small, min(8, num_partitions), keys=["conv_id"])
 
@@ -268,9 +282,7 @@ def session_offsets(
         new_s, _ = W.session_index(starts, ts_us, session_gap_us)
         conv_np = as_array(tbl["conv_id"]).to_pandas().to_numpy()
         turn = as_array(tbl["turn_idx"]).to_numpy().astype(np.int64)
-        import pandas as pd
-
-        bucket_rows = pd.Series(conv_np).map(plan).to_numpy(np.int64)
+        bucket_rows = _map_plan(conv_np, plan)
         bucket = turn // bucket_rows
         seg_change = starts.copy()
         seg_change[1:] |= bucket[1:] != bucket[:-1]
@@ -315,9 +327,12 @@ def run_flagship(
     ``fail_after_parts`` is a test hook: raise after N partitions have
     been written, to exercise checkpoint resume (FIXTURES.md F6).
     """
+    import time
+
     P = cfg.num_partitions
     lineage.prepare_output_dir(out_dir)
     done = lineage.load_done(out_dir) if resume else set()
+    t0 = time.perf_counter()
 
     # --- skew pre-pass: which conversations need salting? The floored
     # counts only SELECT the (tiny) set of mega conversations; every
@@ -331,10 +346,13 @@ def run_flagship(
     lookback = max(cfg.salt_lookback, cfg.max_lag())
     lookahead = max(cfg.salt_lookahead, cfg.max_lead())
 
+    t_counts = time.perf_counter() - t0
+
     # exact pass over the selected conversations: session-ordinal
     # offsets AND the exact bucket count per conversation (so the right
     # side is replicated to every bucket the left side occupies)
     offsets, plan_buckets = session_offsets(left, plan, cfg.session_gap_us, P)
+    t_offsets = time.perf_counter() - t0 - t_counts
 
     left_salted = map_partitions(
         left, lambda t: _salt_left(t, plan, lookback, lookahead, P)
@@ -482,7 +500,9 @@ def run_flagship(
             lt = lt.append_column(name, arr)
 
         # drop replicas + helper cols; write one file per part id
-        lt = lt.filter(lt[OWNED_COL]).drop_columns([SALT_COL, OWNED_COL])
+        owned_mask = as_array(lt[OWNED_COL])
+        salted_row = pc_gt0(as_array(lt[SALT_COL]).filter(owned_mask))
+        lt = lt.filter(owned_mask).drop_columns([SALT_COL, OWNED_COL])
         pids = as_array(lt[PART_COL]).to_numpy()
         summary_rows = []
         import pyarrow.compute as pc
@@ -498,9 +518,14 @@ def run_flagship(
                     raise RuntimeError(
                         f"injected failure after {fail_after_parts} partitions"
                     )
-            sub = lt.filter(pa.array(pids == pid))
+            sel = pids == pid
+            sub = lt.filter(pa.array(sel))
             rec = lineage.write_partition(
-                out_dir, int(pid), sub, input_id=input_id, config_fingerprint=fp
+                out_dir, int(pid), sub, input_id=input_id, config_fingerprint=fp,
+                extra={
+                    "byte_size": sub.nbytes,
+                    "salted_rows": int(salted_row[sel].sum()),
+                },
             )
             summary_rows.append(
                 {PART_COL: int(pid), "rows_written": rec["row_count"],
@@ -516,6 +541,29 @@ def run_flagship(
     summary_ds = map_partitions(shuffled, block_fn)
     summaries = summary_ds.take_all()
 
+    phase_sec = {
+        "prepass_counts": round(t_counts, 3),
+        "prepass_offsets": round(t_offsets, 3),
+        "main": round(time.perf_counter() - t0 - t_counts - t_offsets, 3),
+    }
+    # run-level plan/decision record (salting decisions, phase times —
+    # the reference's task-graph-dump observability analog)
+    lineage.write_run_record(
+        out_dir,
+        {
+            "input_id": input_id,
+            "config_fingerprint": fp,
+            "num_partitions": P,
+            "salted_convs": sorted(plan)[:1000],
+            "plan_buckets": {k: plan_buckets[k] for k in sorted(plan_buckets)[:1000]},
+            "lookback": lookback,
+            "lookahead": lookahead,
+            "phase_sec": phase_sec,
+            "partitions_written": len(summaries),
+            "partitions_skipped": len(done),
+        },
+    )
+
     return {
         "partitions_written": len(summaries),
         "partitions_skipped": len(done),
@@ -524,6 +572,7 @@ def run_flagship(
         "config_fingerprint": fp,
         "manifest": lineage.load_manifest(out_dir),
         "stats": summary_ds.stats(),
+        "phase_sec": phase_sec,
     }
 
 
@@ -531,3 +580,7 @@ def pc_is_valid(arr: pa.Array) -> np.ndarray:
     import pyarrow.compute as pc
 
     return pc.is_valid(arr).to_numpy(zero_copy_only=False)
+
+
+def pc_gt0(arr: pa.Array) -> np.ndarray:
+    return arr.to_numpy(zero_copy_only=False) > 0

@@ -145,6 +145,44 @@ def q_top_orders(sf_dir: str) -> pd.DataFrame:
     return topk(ds, keys=["o_totalprice", "o_orderkey"], descending=[True, False], k=10)
 
 
+def q_ci_topk(sf_dir: str) -> pd.DataFrame:
+    """Collation-aware xsl:sort: case-INSENSITIVE text order (the
+    reference's ``xml_strcasecmp`` comparator, xpath.c:547) over a
+    mixed-case column, tiebreak binary. The alt_case derivation forces
+    rows whose binary order differs from their CI order."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = as_array(pc.cast(t["event_id"], pa.int64()))
+        even = pc.equal(pc.bit_wise_and(eid, 1), 0)
+        alt = pc.if_else(even, pc.utf8_upper(t["event_type"]), t["event_type"])
+        return pa.table({"event_id": eid, "alt_case": as_array(alt)})
+
+    return topk(
+        map_partitions(ds, derive),
+        keys=["alt_case", "event_id"],
+        descending=[False, False],
+        k=20,
+        collations=["ci", "binary"],
+    )
+
+
+def q_sort_nulls_last(sf_dir: str) -> pd.DataFrame:
+    """Missing-key sentinel policy on sort (the reference coerces
+    missing numeric sort keys to a sentinel, xpath.c:520-523): tool
+    DESC with NULLS LAST — nullable keys never float to the top."""
+    from turboxsl_ray.pipelines.transcript_features import q_transcripts
+
+    ds = q_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "tool"])
+    return topk(
+        ds,
+        keys=["tool", "conv_id", "turn_idx"],
+        descending=[True, False, False],
+        k=15,
+        nulls="last",
+    )
+
+
 def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer (broadcast small side) → per-segment rollup."""
     cust = small_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])

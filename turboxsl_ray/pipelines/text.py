@@ -596,6 +596,7 @@ def q_string_funcs(sf_dir: str) -> Dataset:
 
     def fn(t: pa.Table) -> pa.Table:
         txt = t["text"]
+        ln = pc.cast(pc.utf8_length(txt), pa.float64())
         return pa.table(
             {
                 "doc_id": as_array(t["doc_id"]),
@@ -608,7 +609,21 @@ def q_string_funcs(sf_dir: str) -> Dataset:
                 "n_cp": F.string_length(txt),
                 "vowels_up": F.translate(txt, "aeiou", "AEIOU"),
                 "upper": F.upper(txt),
-                "len_r7": F.xpath_round(pc.divide(pc.cast(pc.utf8_length(txt), pa.float64()), 7.0)),
+                "len_r7": F.xpath_round(pc.divide(ln, 7.0)),
+                # format-number picture grammar (functions/format_number.py);
+                # grouping separators are pinned by pytest (DuckDB's fmt
+                # can't thousand-separate floats, so the oracle covers
+                # min-int padding / negative subpattern / percent)
+                "fmt_padded": F.format_number(
+                    pc.multiply(ln, 3.21), pattern="0000.00"
+                ),
+                "fmt_paren": F.format_number(
+                    pc.multiply(pc.subtract(ln, 150.0), 1.5),
+                    pattern="0.0;(0.0)",
+                ),
+                "fmt_pct": F.format_number(
+                    pc.divide(ln, pc.add(ln, 200.0)), pattern="0.0%"
+                ),
             }
         )
 

@@ -164,6 +164,21 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     ),
+    "ci_topk": (
+        relational.q_ci_topk,
+        """SELECT CAST(event_id AS BIGINT) AS event_id,
+                  CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                       ELSE event_type END AS alt_case
+           FROM events
+           ORDER BY lower(CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                               ELSE event_type END), event_id
+           LIMIT 20""",
+    ),
+    "sort_nulls_last": (
+        relational.q_sort_nulls_last,
+        f"""{_T} SELECT conv_id, turn_idx, tool FROM t
+           ORDER BY tool DESC NULLS LAST, conv_id, turn_idx LIMIT 15""",
+    ),
     "orders_by_segment": (
         relational.q_orders_by_segment,
         """SELECT c_mktsegment,
@@ -302,7 +317,12 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   CAST(length(text) AS BIGINT) AS n_cp,
                   translate(text, 'aeiou', 'AEIOU') AS vowels_up,
                   upper(text) AS upper,
-                  floor(length(text) / 7.0 + 0.5) AS len_r7
+                  floor(length(text) / 7.0 + 0.5) AS len_r7,
+                  printf('%07.2f', length(text) * 3.21) AS fmt_padded,
+                  CASE WHEN (length(text) - 150.0) * 1.5 < 0
+                       THEN '(' || printf('%.1f', -((length(text) - 150.0) * 1.5)) || ')'
+                       ELSE printf('%.1f', (length(text) - 150.0) * 1.5) END AS fmt_paren,
+                  printf('%.1f', length(text) / (length(text) + 200.0) * 100) || '%' AS fmt_pct
            FROM documents""",
     ),
     "approx_distinct_parts": (relational.q_approx_distinct_parts, None),  # sketch, error pinned by tests

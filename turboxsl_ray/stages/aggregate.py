@@ -140,24 +140,59 @@ def lookup_int_keys(keys: np.ndarray, table_keys: np.ndarray, table_vals: np.nda
     return vals, found
 
 
-def topk(ds: Dataset, keys: list[str], descending: list[bool], k: int) -> pd.DataFrame:
+def topk(
+    ds: Dataset,
+    keys: list[str],
+    descending: list[bool],
+    k: int,
+    collations: list[str] | None = None,
+    nulls: str = "last",
+) -> pd.DataFrame:
     """Global top-k: per-block local prune, then a tiny driver-side sort.
 
     Analog of the reference's ``[position() <= k]`` after ``xsl:sort``
     (xpath.c:178-188, 484-576) — but at most k rows leave each block.
-    """
-    sort_by = [(c, "descending" if d else "ascending") for c, d in zip(keys, descending)]
+
+    ``collations`` (per key): "binary" (default byte order) or "ci"
+    (case-insensitive — the reference's ``xml_strcasecmp`` path,
+    xpath.c:547) via a derived lowercased sort key. ``nulls``:
+    "last" | "first" — the missing-key sentinel policy (the reference
+    coerces missing numeric keys to a sentinel, xpath.c:520-523)."""
+    import pyarrow.compute as pc
+
+    collations = collations or ["binary"] * len(keys)
+    null_placement = "at_end" if nulls == "last" else "at_start"
+    derived = [
+        (f"__ci_{c}" if coll == "ci" else c)
+        for c, coll in zip(keys, collations)
+    ]
+    sort_by = [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(derived, descending)
+    ]
+
+    def add_ci(tbl: pa.Table) -> pa.Table:
+        for c, coll in zip(keys, collations):
+            if coll == "ci":
+                tbl = tbl.append_column(f"__ci_{c}", pc.utf8_lower(tbl[c]))
+        return tbl
 
     def local_prune(tbl: pa.Table) -> pa.Table:
+        tbl = add_ci(tbl)
         if tbl.num_rows <= k:
             return tbl
-        return tbl.sort_by(sort_by).slice(0, k)
+        return tbl.sort_by(sort_by, null_placement=null_placement).slice(0, k)
 
     pruned = map_partitions(ds, local_prune)
     parts = collect_tables(pruned)
     if not parts:
         return pa.table({}).to_pandas()
-    final = pa.concat_tables(parts, promote_options="permissive").sort_by(sort_by).slice(0, k)
+    final = (
+        pa.concat_tables(parts, promote_options="permissive")
+        .sort_by(sort_by, null_placement=null_placement)
+        .slice(0, k)
+    )
+    final = final.drop_columns([c for c in final.column_names if c.startswith("__ci_")])
     return final.to_pandas()
 
 

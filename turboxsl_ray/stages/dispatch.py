@@ -82,14 +82,22 @@ class RuleSet:
             out_col, pa.array(names[winner], type=pa.string())
         )
         if value_col is not None:
-            out: pa.Array | None = None
+            # evaluate every action once, then unify output types UP
+            # FRONT (mixed numeric promotes; anything else is a clear
+            # error instead of a mid-blend if_else failure)
+            arrs = [_to_arrow(rule.action(tbl)) for rule in ordered]
+            labels = [r.name for r in ordered]
             if self.default_action is not None:
-                out = _to_arrow(self.default_action(tbl))
-            for idx, rule in enumerate(ordered):
-                vals = _to_arrow(rule.action(tbl))
-                if out is None:
-                    # unmatched rows stay null when there is no default
-                    out = as_array(pa.nulls(tbl.num_rows, type=vals.type))
+                arrs.append(_to_arrow(self.default_action(tbl)))
+                labels.append(self.default_name)
+            ct = _common_type([a.type for a in arrs], labels)
+            arrs = [a if a.type == ct else as_array(a.cast(ct)) for a in arrs]
+            if self.default_action is not None:
+                out = arrs.pop()
+            else:
+                # unmatched rows stay null when there is no default
+                out = as_array(pa.nulls(tbl.num_rows, type=ct))
+            for idx, vals in enumerate(arrs):
                 mask = pa.array(winner == idx)
                 out = as_array(pc.if_else(mask, vals, out))
             tbl = tbl.append_column(value_col, out)
@@ -100,3 +108,21 @@ def _to_arrow(x) -> pa.Array:
     if isinstance(x, (pa.Array, pa.ChunkedArray)):
         return as_array(x)
     return pa.array(np.asarray(x))
+
+
+def _common_type(types: list[pa.DataType], labels: list[str]) -> pa.DataType:
+    """One output type for all rule actions: equal types pass through,
+    mixed numeric/bool promotes (float64 > int64), anything else raises
+    with the offending rule names."""
+    uniq = set(types)
+    if len(uniq) == 1:
+        return types[0]
+    def numericish(t):
+        return pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t)
+    if all(numericish(t) for t in uniq):
+        return pa.float64() if any(pa.types.is_floating(t) for t in uniq) else pa.int64()
+    detail = ", ".join(f"{n}: {t}" for n, t in zip(labels, types))
+    raise ValueError(
+        f"rule actions produce incompatible output types ({detail}); "
+        "declare a single value type across the rule set"
+    )

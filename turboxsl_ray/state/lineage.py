@@ -85,6 +85,25 @@ def write_partition(
     return record
 
 
+def write_run_record(out_dir: str, record: dict[str, Any]) -> None:
+    """Run-level plan/decision record (which conversations were
+    salted, bucket plan, phase timings) — the observability analog of
+    the reference's task-graph dump (template_task_graph.c:145-373)."""
+    path = os.path.join(out_dir, MANIFEST_DIR, "run.json")
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, path)
+
+
+def load_run_record(out_dir: str) -> dict[str, Any] | None:
+    path = os.path.join(out_dir, MANIFEST_DIR, "run.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def load_done(out_dir: str) -> set[int]:
     """Partition ids with a manifest record AND an intact data file."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
