@@ -108,6 +108,86 @@ def test_compiled_rules_match_handwritten():
     assert out["score"].to_pylist() == [200.0, 10.0, -1.0, 0.0]
 
 
+def test_rule_modes_registry():
+    """xsl:apply-templates mode= analog: one compiled rule table per
+    named pass, selected at apply time."""
+    from turboxsl_ray.spec import compile_rule_modes
+
+    spec = {
+        "rules": {
+            "modes": {
+                "score": {
+                    "entries": [
+                        {"name": "hot", "when": {"col": "v", "op": ">", "value": 5},
+                         "emit": {"const": 1.0}},
+                    ],
+                    "default_emit": {"const": 0.0},
+                },
+                "label": {
+                    "entries": [
+                        {"name": "neg", "when": {"col": "v", "op": "<", "value": 0},
+                         "emit": {"const": "neg"}},
+                    ],
+                    "default_emit": {"const": "pos"},
+                },
+            }
+        }
+    }
+    reg = compile_rule_modes(spec)
+    tbl = pa.table({"v": [10.0, -3.0, 2.0]})
+    s = reg.apply(tbl, mode="score", value_col="out")
+    assert s["out"].to_pylist() == [1.0, 0.0, 0.0]
+    l = reg.apply(tbl, mode="label", value_col="out")
+    assert l["out"].to_pylist() == ["pos", "neg", "pos"]
+    with pytest.raises(KeyError, match="no rule set for mode"):
+        reg.apply(tbl, mode="nope")
+
+
+def test_stage_registry():
+    """instruction_add analog: named stage factories, user shadows
+    builtin."""
+    from turboxsl_ray.stages.stage_registry import (
+        available_stages,
+        make_stage,
+        register_stage,
+    )
+    from turboxsl_ray.stages.streaming_window import StreamingWindowStage
+    from turboxsl_ray.stages.window_stage import WindowSpec
+
+    assert {"streaming_window", "cached_lookup", "window"} <= set(available_stages())
+    st = make_stage("streaming_window", spec=WindowSpec(lags=(("value", 1),)))
+    assert isinstance(st, StreamingWindowStage)
+    fn = make_stage("window", lags=(("value", 1),))
+    out = fn(pa.table({
+        "conv_id": ["a", "a"],
+        "ts": pa.array([1, 2], pa.timestamp("us")),
+        "turn_idx": pa.array([0, 1], pa.int64()),
+        "value": [1.0, 2.0],
+    }))
+    assert out["lag_value_1"].to_pylist() == [None, 1.0]
+    register_stage("window", lambda **kw: "shadowed")
+    try:
+        assert make_stage("window") == "shadowed"
+    finally:
+        from turboxsl_ray.stages import stage_registry as SR
+
+        SR._USER.pop("window", None)
+    with pytest.raises(KeyError, match="no stage registered"):
+        make_stage("definitely_missing")
+
+
+def test_check_rights_function():
+    from turboxsl_ray.functions.registry import call
+    from turboxsl_ray.functions.rights import build_rights, check_rights
+
+    ref = build_rights([5, 2, 9, 2])
+    out = check_rights(pa.array([1, 2, 5, 9, 10], pa.int64()), ref)
+    assert out.to_pylist() == [False, True, True, True, False]
+    # registered under the reference's namespaced name
+    out2 = call("chk:check_rights", pa.array([2, 3], pa.int64()), ref)
+    assert out2.to_pylist() == [True, False]
+
+
 def test_spec_driven_flagship_identical(ray_session, tmp_path):
     """A spec-file run must be byte-identical to the code-configured
     run (the processor-compile contract)."""

@@ -269,6 +269,36 @@ def q_customer_nation_region(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
+def q_check_rights(sf_dir: str) -> Dataset:
+    """chk:check_rights as a named column op (functions/rights.py):
+    every customer annotated with membership in the big-spender rights
+    set (distilled once from orders, broadcast, vectorized probe)."""
+    from turboxsl_ray.functions.rights import build_rights, check_rights
+
+    okeys_ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    okeys_ds = map_partitions(
+        okeys_ds,
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], pa.scalar(BIG_ORDER_CUTOFF))
+        ).select(["o_custkey"]),
+    )
+    rights = build_rights(
+        distinct_small(okeys_ds, ["o_custkey"])["o_custkey"].to_numpy(np.int64)
+    )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def annotate(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": as_array(pc.cast(t["c_custkey"], pa.int64())),
+                "has_rights": check_rights(t["c_custkey"], rights),
+            }
+        )
+
+    return map_partitions(cust, annotate)
+
+
 def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
     """DISTINCT over low-cardinality columns."""
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])

@@ -11,13 +11,15 @@ Physical shapes:
   /root/reference/src/functions.c:160-445);
 - exact dedup: hash-partition by a text digest, per-block group —
   first-wins by min doc_id (SURVEY.md §2.9);
-- n-gram Jaccard: inverted index (gram → docs) → per-gram pair
-  emission → pair-count combine → jaccard filter. No pruning here so
-  the DuckDB oracle matches exactly; at 100 TB you'd df-prune grams
-  above a document-frequency cap (changes recall, documented);
-- MinHash/LSH: signatures per block (vectorized minimum over
-  (grams × K) universal hashes), band-bucket shuffle, per-bucket
-  candidate pairs — the sub-quadratic scale path.
+- n-gram Jaccard: ONE inverted-index pass (per-doc gram counts ride on
+  the rows) → gram-keyed shuffle → vectorized per-gram pair emission +
+  per-block partial counts → pair-keyed shuffle combine + jaccard.
+  Uncapped matches the DuckDB oracle exactly; ``df_cap`` prunes
+  stop-grams (bounded m² blow-up, documented recall trade);
+- MinHash/LSH: signature table computed once, band-bucket shuffle over
+  (bucket, doc_id) only, pair-keyed candidate dedup, signatures joined
+  back by doc id — the sub-quadratic scale path with no driver-side
+  combine anywhere.
 """
 
 from __future__ import annotations

@@ -201,6 +201,13 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         relational.q_distinct_flags,
         "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     ),
+    "check_rights": (
+        relational.q_check_rights,
+        f"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   c_custkey IN (SELECT o_custkey FROM orders
+                                 WHERE o_totalprice > {relational.BIG_ORDER_CUTOFF}) AS has_rights
+           FROM customer""",
+    ),
     "customers_without_orders": (
         relational.q_customers_without_orders,
         f"""SELECT c_custkey, c_name FROM customer

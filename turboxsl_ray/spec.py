@@ -188,6 +188,25 @@ def _compile_action(emit: dict):
     raise SpecError(f"action needs const/col/scale: {emit!r}")
 
 
+def compile_rule_modes(spec: dict):
+    """``rules.modes`` section → RuleSetRegistry (xsl:apply-templates
+    mode= namespacing; one compiled rule table per pass)."""
+    from turboxsl_ray.stages.dispatch import RuleSetRegistry
+
+    rules = spec.get("rules") or {}
+    modes = rules.get("modes")
+    if not modes:
+        reg = RuleSetRegistry()
+        rs = compile_rules(spec)
+        if rs is not None:
+            reg.add_mode("", rs)
+        return reg
+    reg = RuleSetRegistry()
+    for mode, sub in modes.items():
+        reg.add_mode(mode, compile_rules({"rules": sub}))
+    return reg
+
+
 def compile_rules(spec: dict) -> RuleSet | None:
     """Rule section → vectorized RuleSet (the template-index analog,
     ref templates.c:221-227 mode-named rule sets)."""

@@ -104,6 +104,31 @@ class RuleSet:
         return tbl
 
 
+@dataclass
+class RuleSetRegistry:
+    """Mode-namespaced rule sets — ``xsl:apply-templates mode=``
+    selects a whole rule table per pass (ref instructions.c:85-95,
+    template index per mode at templates.c:221-227). The unnamed mode
+    ``""`` is the default pass."""
+
+    modes: dict[str, RuleSet] = field(default_factory=dict)
+
+    def add_mode(self, mode: str, ruleset: RuleSet) -> "RuleSetRegistry":
+        self.modes[mode] = ruleset
+        return self
+
+    def get(self, mode: str = "") -> RuleSet:
+        try:
+            return self.modes[mode]
+        except KeyError:
+            raise KeyError(
+                f"no rule set for mode {mode!r} (have {sorted(self.modes)})"
+            ) from None
+
+    def apply(self, tbl: pa.Table, mode: str = "", **kwargs) -> pa.Table:
+        return self.get(mode).apply(tbl, **kwargs)
+
+
 def _to_arrow(x) -> pa.Array:
     if isinstance(x, (pa.Array, pa.ChunkedArray)):
         return as_array(x)

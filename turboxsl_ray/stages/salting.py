@@ -30,12 +30,9 @@ Scheme
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-
-from turboxsl_ray.stages.partitioning import map_partitions
 
 SALT_COL = "salt"
 OWNED_COL = "owned"
@@ -105,74 +102,6 @@ def conv_counts(
     return acc
 
 
-def plan_salting(
-    counts: dict[str, int],
-    threshold_rows: int,
-    bucket_rows: int | None = None,
-) -> dict[str, int]:
-    """conv_id -> bucket_size for conversations that need salting.
-
-    ``bucket_rows`` defaults to ``threshold_rows`` (each sub-bucket at
-    most one threshold's worth of turns).
-    """
-    bucket_rows = bucket_rows or threshold_rows
-    return {c: bucket_rows for c, n in counts.items() if n > threshold_rows}
-
-
-def apply_salt(
-    ds: Dataset,
-    plan: dict[str, int],
-    lookback: int,
-) -> Dataset:
-    """Add ``salt`` + ``owned`` columns; emit boundary replicas.
-
-    Unsalted conversations get salt=0, owned=True, no replicas. The
-    plan is tiny (mega conversations only) and ships once per task via
-    closure capture (Ray serializes it into the task spec — the
-    broadcast-small-side pattern).
-    """
-    if lookback < 1:
-        raise ValueError("lookback must be >= 1")
-
-    def fn(tbl: pa.Table) -> pa.Table:
-        n = tbl.num_rows
-        conv = tbl["conv_id"].to_pandas().to_numpy()
-        turn = tbl["turn_idx"].to_numpy()
-        bucket_size = np.zeros(n, dtype=np.int64)
-        if plan:
-            import pandas as pd
-
-            bs = pd.Series(conv).map(plan).fillna(0).to_numpy(np.int64)
-            bucket_size = bs
-        salted = bucket_size > 0
-        salt = np.zeros(n, dtype=np.int32)
-        if salted.any():
-            salt[salted] = (turn[salted] // bucket_size[salted]).astype(np.int32)
-        out = tbl.append_column(SALT_COL, pa.array(salt, type=pa.int32()))
-        out = out.append_column(OWNED_COL, pa.array(np.ones(n, dtype=bool)))
-
-        # replicas: last `lookback` turns of each bucket also go to the
-        # next bucket (owned=False). pos_in_bucket >= bucket_size-lookback
-        if salted.any():
-            pos = np.zeros(n, dtype=np.int64)
-            pos[salted] = turn[salted] % bucket_size[salted]
-            rep_mask = salted & (pos >= (bucket_size - lookback))
-            if rep_mask.any():
-                rep = tbl.filter(pa.array(rep_mask))
-                rep_salt = (salt[rep_mask] + 1).astype(np.int32)
-                rep = rep.append_column(SALT_COL, pa.array(rep_salt, type=pa.int32()))
-                rep = rep.append_column(
-                    OWNED_COL, pa.array(np.zeros(int(rep_mask.sum()), dtype=bool))
-                )
-                out = pa.concat_tables([out, rep])
-        return out
-
-    return map_partitions(ds, fn)
-
-
-def drop_replicas(tbl: pa.Table) -> pa.Table:
-    """Drop replica rows and the salting helper columns after feature
-    computation (exact dedup by (conv_id, turn_idx): every owned row
-    exists exactly once across buckets)."""
-    out = tbl.filter(tbl[OWNED_COL])
-    return out.drop_columns([SALT_COL, OWNED_COL])
+# The salt/replica application itself lives in pipelines/flagship.py
+# (_salt_left/_salt_right) where it is fused with part-id assignment —
+# this module owns the selection pre-pass and the column contract.
