@@ -44,8 +44,23 @@ NGRAM = 3
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+def read_documents(
+    sf_dir: str, columns: list[str] | None = None, spread: bool = False
+) -> Dataset:
+    """``spread=True`` re-blocks few-file inputs so compute-heavy
+    per-doc stages (shingling, minhashing) parallelize — a single
+    parquet file otherwise reads as ONE block and serializes the whole
+    stage on one worker. At real scale inputs are many-file and this
+    is a no-op (guarded by the input file count)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    if spread:
+        try:
+            n_files = len(ds.input_files())
+        except Exception:
+            n_files = 0
+        if 0 < n_files < 8:
+            ds = ds.repartition(16)
+    return ds
 
 
 # --------------------------------------------------------------------------
@@ -106,7 +121,7 @@ def q_quality_score(sf_dir: str) -> Dataset:
 def q_fingerprint(sf_dir: str) -> Dataset:
     """md5 hex fingerprint per document (byte-level identity), the
     reference's ltr:md5_hex (functions.c:886-906)."""
-    ds = read_documents(sf_dir, ["doc_id", "text"])
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
     def fn(t: pa.Table) -> pa.Table:
         texts = as_array(t["text"]).to_pylist()
@@ -252,7 +267,7 @@ def q_ngram_jaccard(
     the SQL oracle bit-for-bit; ``df_cap`` prunes grams shared by more
     documents than the cap (q_ngram_jaccard_capped), which bounds the
     hot-gram m² pair blow-up at 100 TB at a documented recall cost."""
-    ds = read_documents(sf_dir, ["doc_id", "text"])
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
     inv = map_partitions(ds, _shingle_rows_block)
     by_gram = partition_by_conv(inv, 16, keys=["g"])
@@ -386,13 +401,14 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
        materialized once (512 B/doc — band rows never carry it);
     2. band-bucket rows (bucket, doc_id) → shuffle by bucket →
        vectorized per-bucket candidate pairs;
-    3. shuffle candidates by (doc_a, doc_b) → per-block distinct
-       (global dedup, since the pair is the shuffle key);
-    4. signatures joined back by doc id (two co-partitioned equi-joins)
-       → estimated jaccard = fraction of equal signature lanes.
+    3. signatures joined back by doc id (two co-partitioned
+       equi-joins); global pair dedup rides the first join's doc_a
+       exchange (duplicates of a pair share doc_a) so it costs no
+       shuffle of its own → estimated jaccard = fraction of equal
+       signature lanes.
     Rows-only driver check (not SQL-expressible); recall vs exact
     jaccard is pinned by tests on planted near-dups."""
-    ds = read_documents(sf_dir, ["doc_id", "text"])
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
     K = MINHASH_K
 
     def sig_block(t: pa.Table) -> pa.Table:
@@ -461,21 +477,27 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
             schema=_CAND_SCHEMA,
         )
 
-    by_pair = partition_by_conv(map_partitions(by_bucket, bucket_pairs), 16,
-                                keys=["doc_a", "doc_b"])
-
-    def distinct_pairs(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _CAND_SCHEMA.empty_table()
-        return t.group_by(["doc_a", "doc_b"]).aggregate([]).cast(_CAND_SCHEMA)
-
-    cand = map_partitions(by_pair, distinct_pairs)
+    # materialize the (tiny, near-dup-sized) candidate set: running
+    # three shuffle operators concurrently in one streaming DAG makes
+    # their aggregator pools contend on a single node — sequencing the
+    # candidate stage is measurably faster and the barrier only ever
+    # holds candidate pairs, never input-scale data
+    cand = map_partitions(by_bucket, bucket_pairs).materialize()
 
     from turboxsl_ray.stages.join import copartition_join
 
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        # fused into join 1's exchange: duplicates of a pair share
+        # doc_a, so the doc_a co-partitioning makes this block-local
+        # distinct globally exact — no pair-dedup shuffle of its own
+        if t.num_rows == 0:
+            return t
+        return t.group_by(["doc_a", "doc_b"]).aggregate([]).cast(t.schema)
+
     sig_a = map_partitions(sigs, lambda t: t.rename_columns(["doc_a", "sig_a"]))
     sig_b = map_partitions(sigs, lambda t: t.rename_columns(["doc_b", "sig_b"]))
-    j = copartition_join(cand, sig_a, on="doc_a", num_partitions=16)
+    j = copartition_join(cand, sig_a, on="doc_a", num_partitions=16,
+                         left_block_prep=distinct_pairs)
     j = copartition_join(j, sig_b, on="doc_b", num_partitions=16)
 
     def estimate(t: pa.Table) -> pa.Table:
@@ -506,7 +528,7 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
 
 def q_simhash(sf_dir: str) -> Dataset:
     """64-bit SimHash per document over word tokens (hex string)."""
-    ds = read_documents(sf_dir, ["doc_id", "text"])
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
     def fn(t: pa.Table) -> pa.Table:
         texts = as_array(t["text"]).to_pylist()

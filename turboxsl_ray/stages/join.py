@@ -35,9 +35,16 @@ def copartition_join(
     on: str,
     how: str = "inner",
     num_partitions: int = 16,
+    left_block_prep=None,
 ) -> Dataset:
     """Equi-join two large Datasets on ``on`` (non-key column names
-    must be disjoint). ``how`` in {"inner", "left"}."""
+    must be disjoint). ``how`` in {"inner", "left"}.
+
+    ``left_block_prep``: optional ``pa.Table -> pa.Table`` applied to
+    each co-partitioned LEFT block before the join — lets callers fuse
+    a key-partitioned operation (e.g. a distinct whose key includes
+    ``on``) into the join's exchange instead of paying a shuffle of
+    their own."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
 
@@ -86,6 +93,8 @@ def copartition_join(
         lmask = pa.array(src == 0)
         rmask = pa.array(src == 1)
         lt = t.filter(lmask).select([*lnames])
+        if left_block_prep is not None:
+            lt = left_block_prep(lt)
         rt = t.filter(rmask).select([on, *rnames])
         # Arrow's C++ hash join, block-local (both sides co-located)
         return lt.join(rt, keys=on, join_type=join_type)
