@@ -87,6 +87,83 @@ def test_resize_stage(ray_session):
     assert dec["decoded_ok"].all()
 
 
+def test_ppm_codec_roundtrip_and_comments():
+    """Real raster codec: encode → decode is pixel-exact; headers with
+    comments parse (the P6 grammar, not just our own output)."""
+    from turboxsl_ray.pipelines.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(px)), px)
+    with_comment = b"P6\n# a comment\n5 7\n255\n" + px.tobytes()
+    np.testing.assert_array_equal(decode_ppm(with_comment), px)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_ppm_resize_nearest_known_values():
+    from turboxsl_ray.pipelines.multimodal import resize_nearest
+
+    # 4x4 gradient, downsample to 2x2 -> picks rows/cols 0 and 2
+    base = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    px = np.stack([base] * 3, axis=-1)
+    out = resize_nearest(px, 2, 2)
+    np.testing.assert_array_equal(out[:, :, 0], [[0, 2], [8, 10]])
+
+
+def test_image_stats_real_decode(ray_session):
+    """q_image_stats decodes REAL pixels through the actor pool; means
+    match a local numpy decode bit-for-bit."""
+    from turboxsl_ray.pipelines.multimodal import (
+        decode_ppm,
+        q_image_stats,
+        synth_ppm,
+    )
+
+    df = q_image_stats(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 500
+    assert df["decoded_ok"].all()
+    assert ((df["mean_r"] >= 0) & (df["mean_r"] <= 255)).all()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i in range(0, 50, 7):
+        px = decode_ppm(synth_ppm(docs["text"][i].encode()))
+        assert df["height"][i] == px.shape[0] and df["width"][i] == px.shape[1]
+        np.testing.assert_allclose(
+            df["mean_g"][i], round(float(px[:, :, 1].mean()), 4), rtol=0, atol=1e-9
+        )
+
+
+def test_ppm_resize_stage_real(ray_session):
+    from turboxsl_ray.pipelines.multimodal import (
+        DecodeStage,
+        ResizeStage,
+        encode_ppm_block,
+        read_documents,
+    )
+    from turboxsl_ray.stages.partitioning import map_partitions
+
+    imgs = map_partitions(read_documents(SF_DIR, ["doc_id", "text"]), encode_ppm_block)
+    resized = imgs.map_batches(
+        ResizeStage, fn_constructor_kwargs={"max_side": 8, "codec": "ppm"},
+        batch_size=64, batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    assert (resized["width"] <= 8).all() and (resized["height"] <= 8).all()
+    dec = DecodeStage(codec="ppm")(
+        pa.table({
+            "doc_id": pa.array(resized["doc_id"].head(10).to_numpy()),
+            "payload": pa.array(
+                [bytes(b) for b in resized["payload"].head(10)], pa.binary()
+            ),
+        })
+    ).to_pandas()
+    assert dec["decoded_ok"].all()
+    assert (dec["width"] == resized["width"].head(10).to_numpy()).all()
+
+
 def test_frame_sample_stage(ray_session):
     from turboxsl_ray.pipelines.multimodal import FrameSampleStage, payload_dataset
 

@@ -1,16 +1,22 @@
 """Multimodal (binary-payload) column plumbing.
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-The decode libraries are not in this container, so the decode kernels
-are STUBS — ``DecodeStage`` raises ``NotImplementedError`` unless
-given the deterministic fake codec — but the Ray-side plumbing is
-real and tested: schema, actor-pool stage shape (setup in
-``__init__``, work in ``__call__``), small-batch sizing for large
-payloads, and the metadata-extraction pass.
+Two codecs exist:
 
-Payloads here are synthesized from ``documents.text`` (UTF-8 bytes
-with a fixed 16-byte header), so the metadata query has an exact SQL
-oracle via ``octet_length(encode(text))``.
+- ``fake``: the deterministic header+text payload (metadata query has
+  an exact SQL oracle via ``octet_length(encode(text))``);
+- ``ppm``: REAL raster images — binary PPM (P6) is a complete image
+  format encodable/decodable with numpy alone, so decode, per-channel
+  stats, and nearest-neighbor resize below operate on actual pixels
+  with no external imaging library. Anything else (JPEG/PNG/audio)
+  raises ``NotImplementedError`` — those libraries are not in this
+  container; swapping them into the same actor stages changes no Ray
+  plumbing.
+
+The Ray-side shape is the tested contract either way: actor-pool
+stages (setup in ``__init__``, work in ``__call__``), small-batch
+sizing for large payloads, flat-map frame sampling, and the
+metadata-extraction pass.
 """
 
 from __future__ import annotations
@@ -65,23 +71,119 @@ def encode_payload_block(t: pa.Table) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------- PPM (P6)
+# A real raster format, numpy-only. Encoder/decoder/resizer below work
+# on actual pixel arrays (uint8 HxWx3).
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6): ASCII header (magic, width, height,
+    maxval, whitespace/comment separated) + raw RGB bytes."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: 3 integers after the magic, '#' comments ok
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def synth_ppm(text_bytes: bytes, max_side: int = 24) -> bytes:
+    """Deterministic real image from a document: dimensions and pixel
+    field seeded by the text digest."""
+    d = hashlib.blake2b(text_bytes, digest_size=16).digest()
+    w = 4 + (d[0] % max_side)
+    h = 4 + (d[1] % max_side)
+    rng = np.random.default_rng(int.from_bytes(d[2:10], "little"))
+    return encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+
+
+def resize_nearest(pixels: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    h, w, _ = pixels.shape
+    yi = (np.arange(nh) * h // nh).astype(np.int64)
+    xi = (np.arange(nw) * w // nw).astype(np.int64)
+    return pixels[yi][:, xi]
+
+
+def encode_ppm_block(t: pa.Table) -> pa.Table:
+    """documents block → real PPM image payloads + parsed dimensions."""
+    texts = as_array(pc.cast(as_array(t["text"]), pa.binary())).to_pylist()
+    payloads = [synth_ppm(b) for b in texts]
+    dims = [decode_ppm(p).shape for p in payloads]
+    return pa.table(
+        {
+            "doc_id": as_array(t["doc_id"]),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "format": pa.array(["image/x-portable-pixmap"] * len(texts)),
+            "width": pa.array([d[1] for d in dims], type=pa.int32()),
+            "height": pa.array([d[0] for d in dims], type=pa.int32()),
+        }
+    )
+
+
 class DecodeStage:
     """Actor-pool decode stage (stateful: codec init once per actor).
 
-    Real codecs (PIL/ffmpeg/...) are absent in this container; only
-    ``codec='fake'`` is implemented, which parses the deterministic
-    header and returns payload bytes. Everything else raises
-    ``NotImplementedError`` at call time — the plumbing (actor
-    signature, batch shape, output schema) is the tested surface."""
+    ``codec='ppm'`` is a REAL decode — actual pixels come out and
+    per-channel means are computed from them. ``codec='fake'`` parses
+    the deterministic header payload. Real heavy codecs (JPEG/ffmpeg)
+    are absent in this container and raise ``NotImplementedError``;
+    swapping them in changes no Ray plumbing."""
 
     def __init__(self, codec: str = "fake"):
         self.codec = codec  # expensive model/codec load would go here
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.codec == "ppm":
+            payloads = as_array(t["payload"]).to_pylist()
+            n = len(payloads)
+            ok = np.zeros(n, dtype=bool)
+            widths = np.zeros(n, dtype=np.int32)
+            heights = np.zeros(n, dtype=np.int32)
+            means = np.zeros((n, 3), dtype=np.float64)
+            for i, p in enumerate(payloads):
+                try:
+                    px = decode_ppm(p)
+                except (ValueError, IndexError):
+                    continue
+                ok[i] = True
+                heights[i], widths[i] = px.shape[0], px.shape[1]
+                means[i] = px.reshape(-1, 3).mean(axis=0)
+            return pa.table(
+                {
+                    "doc_id": as_array(t["doc_id"]),
+                    "decoded_ok": pa.array(ok),
+                    "width": pa.array(widths, type=pa.int32()),
+                    "height": pa.array(heights, type=pa.int32()),
+                    "mean_r": pa.array(np.round(means[:, 0], 4)),
+                    "mean_g": pa.array(np.round(means[:, 1], 4)),
+                    "mean_b": pa.array(np.round(means[:, 2], 4)),
+                }
+            )
         if self.codec != "fake":
             raise NotImplementedError(
                 f"codec {self.codec!r} unavailable in this environment; "
-                "only the deterministic 'fake' codec is implemented"
+                "'fake' and 'ppm' are implemented"
             )
         payloads = as_array(t["payload"]).to_pylist()
         ok = np.empty(len(payloads), dtype=bool)
@@ -136,16 +238,38 @@ class FeaturizeStage:
 
 
 class ResizeStage:
-    """Actor-pool resize stage (STUB codec): recomputes the header's
-    width/height to the target box preserving aspect ratio and
-    truncates the fake payload body proportionally — the real
-    implementation would swap in PIL/libvips inside ``__call__`` with
-    zero changes to the Ray plumbing."""
+    """Actor-pool resize stage. ``codec='ppm'`` is a REAL resize:
+    decode pixels, nearest-neighbor sample into the target box
+    (aspect-preserving), re-encode — numpy only. ``codec='fake'``
+    rescales the deterministic header payload. A PIL/libvips codec
+    would swap into ``__call__`` with zero Ray-plumbing changes."""
 
-    def __init__(self, max_side: int = 32):
+    def __init__(self, max_side: int = 32, codec: str = "fake"):
         self.max_side = max_side  # real: init codec/thread pool here
+        self.codec = codec
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.codec == "ppm":
+            payloads = as_array(t["payload"]).to_pylist()
+            out_payloads, widths, heights = [], [], []
+            for p in payloads:
+                px = decode_ppm(p)
+                h, w, _ = px.shape
+                scale = min(self.max_side / max(w, h), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                out = resize_nearest(px, nw, nh)
+                out_payloads.append(encode_ppm(out))
+                widths.append(nw)
+                heights.append(nh)
+            return pa.table(
+                {
+                    "doc_id": as_array(t["doc_id"]),
+                    "payload": pa.array(out_payloads, type=pa.binary()),
+                    "format": as_array(t["format"]),
+                    "width": pa.array(widths, type=pa.int32()),
+                    "height": pa.array(heights, type=pa.int32()),
+                }
+            )
         payloads = as_array(t["payload"]).to_pylist()
         out_payloads = []
         widths = np.empty(len(payloads), dtype=np.int32)
@@ -216,6 +340,23 @@ def decoded_features(sf_dir: str, concurrency: int = 2) -> Dataset:
         concurrency=concurrency,
     )
     return decoded
+
+
+def q_image_stats(sf_dir: str, concurrency: int = 2) -> Dataset:
+    """Real-pixel pipeline: synthesize PPM images from documents →
+    actor-pool decode (actual pixels) → per-channel means + dims.
+    Deterministic but not SQL-expressible (rows-only check; pixel math
+    pinned by pytest)."""
+    imgs = map_partitions(
+        read_documents(sf_dir, ["doc_id", "text"]), encode_ppm_block
+    )
+    return imgs.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"codec": "ppm"},
+        batch_size=PAYLOAD_BATCH_SIZE,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 def q_multimodal_meta(sf_dir: str) -> Dataset:

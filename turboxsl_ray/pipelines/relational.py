@@ -299,6 +299,60 @@ def q_check_rights(sf_dir: str) -> Dataset:
     return map_partitions(cust, annotate)
 
 
+VERISTAT_CONFIG = {"click": 1.5, "view": 0.25, "purchase": 10.0}
+
+
+def q_veristat(sf_dir: str) -> Dataset:
+    """ltr:veristat as a named op (functions/veristat.py): every event
+    scored by a per-type coefficient from a job config broadcast once
+    (unknown types get the default 1.0)."""
+    from turboxsl_ray.functions.veristat import load_veristat, veristat
+
+    ref = load_veristat(VERISTAT_CONFIG)
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def score(t: pa.Table) -> pa.Table:
+        coeff = veristat(t["event_type"], ref, default=1.0)
+        return pa.table(
+            {
+                "event_id": as_array(pc.cast(t["event_id"], pa.int64())),
+                "vscore": as_array(
+                    pc.multiply(pc.cast(t["value"], pa.float64()), coeff)
+                ),
+            }
+        )
+
+    return map_partitions(ds, score)
+
+
+def q_sample_hash(sf_dir: str) -> Dataset:
+    """Deterministic hash sampling (SURVEY §2.4 sampling, made
+    oracle-checkable): keep an event iff the first hex digit of
+    md5(event_id) is 0 or 1 (exact 1/8 expected rate, stable across
+    runs/partitionings — the only sampling that can survive a resume)."""
+    import hashlib
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = as_array(pc.cast(t["event_id"], pa.int64())).to_numpy()
+        keep = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[0] in "01" for i in ids),
+            dtype=bool,
+            count=len(ids),
+        )
+        out = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": as_array(pc.cast(out["event_id"], pa.int64())),
+                "event_type": as_array(out["event_type"]),
+                "value": as_array(pc.cast(out["value"], pa.float64())),
+            }
+        )
+
+    return map_partitions(ds, sample)
+
+
 def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
     """DISTINCT over low-cardinality columns."""
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])

@@ -201,6 +201,23 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         relational.q_distinct_flags,
         "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     ),
+    "veristat": (
+        relational.q_veristat,
+        """SELECT CAST(event_id AS BIGINT) AS event_id,
+                  value * CASE event_type
+                            WHEN 'click' THEN 1.5
+                            WHEN 'view' THEN 0.25
+                            WHEN 'purchase' THEN 10.0
+                            ELSE 1.0 END AS vscore
+           FROM events""",
+    ),
+    "sample_hash": (
+        relational.q_sample_hash,
+        """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                  CAST(value AS DOUBLE) AS value
+           FROM events
+           WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')""",
+    ),
     "check_rights": (
         relational.q_check_rights,
         f"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
@@ -362,6 +379,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "ann_lsh_buckets": (vectors.q_ann_lsh_buckets, None),
     "ann_ivf": (vectors.q_ann_ivf, None),  # approximate; recall pinned by tests
     # ---- multimodal plumbing ----
+    "image_stats": (multimodal.q_image_stats, None),  # real PPM pixel decode; pinned by pytest
     "multimodal_meta": (
         multimodal.q_multimodal_meta,
         f"""SELECT doc_id,
