@@ -157,3 +157,68 @@ def test_format_number_full_patterns():
     assert format_number(
         pa.array([1234567.891, -3.5]), "#.##0,00", format_name="de"
     ).to_pylist() == ["1.234.567,89", "−3,50"]
+
+
+@given(
+    groups=st.lists(st.integers(1, 7), min_size=0, max_size=10),
+    df_cap=st.one_of(st.none(), st.integers(1, 5)),
+)
+@settings(max_examples=200, deadline=None)
+def test_emit_gram_pairs_matches_bruteforce(groups, df_cap):
+    """Vectorized per-group pair emission == per-group triu brute force
+    (with and without the document-frequency cap)."""
+    from turboxsl_ray.pipelines.text import _emit_gram_pairs
+
+    g = np.repeat(np.arange(len(groups), dtype=np.int64), groups)
+    ai, bi = _emit_gram_pairs(g, df_cap)
+    want = []
+    start = 0
+    for m in groups:
+        if df_cap is None or m <= df_cap:
+            for i in range(m):
+                for j in range(i + 1, m):
+                    want.append((start + i, start + j))
+        start += m
+    got = sorted(zip(ai.tolist(), bi.tolist()))
+    assert got == sorted(want)
+
+
+@given(
+    n=st.integers(0, 20),
+    offset=st.integers(0, 5),
+)
+@settings(max_examples=100, deadline=None)
+def test_sig_matrix_matches_naive_decode(n, offset):
+    """Buffer-math signature decode == per-row python decode, incl. on
+    sliced arrays (nonzero Arrow offsets)."""
+    from turboxsl_ray.pipelines.text import MINHASH_K, _sig_matrix
+
+    rng = np.random.default_rng(n * 31 + offset)
+    sigs = rng.integers(0, 2**63, size=(n + offset, MINHASH_K), dtype=np.uint64)
+    arr = pa.array([sigs[i].tobytes() for i in range(n + offset)], type=pa.binary())
+    sliced = arr.slice(offset, n)
+    got = _sig_matrix(sliced, MINHASH_K)
+    np.testing.assert_array_equal(got, sigs[offset:])
+
+
+@given(
+    w=st.integers(1, 12), h=st.integers(1, 12), seed=st.integers(0, 1000)
+)
+@settings(max_examples=100, deadline=None)
+def test_ppm_roundtrip_property(w, h, seed):
+    from turboxsl_ray.pipelines.multimodal import decode_ppm, encode_ppm
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+@given(x=st.floats(allow_nan=False, allow_infinity=False, width=64,
+                   min_value=-1e12, max_value=1e12))
+@settings(max_examples=300, deadline=None)
+def test_format_number_fixed_pattern_matches_printf(x):
+    """The '0.00' picture == C printf %.2f semantics for any finite
+    double (sign, rounding, carry)."""
+    from turboxsl_ray.functions.format_number import compile_pattern, format_value
+
+    cp = compile_pattern("0.00")
+    assert format_value(x, cp) == f"{x:.2f}".replace("-0.00", "-0.00")

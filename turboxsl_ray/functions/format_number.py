@@ -155,7 +155,9 @@ def format_value(x: float, cp: CompiledPattern) -> str:
     fmt = cp.fmt
     if math.isnan(x):
         return fmt.nan
-    negative = x < 0
+    # sign BIT, not x<0: -0.0 formats with the negative affix, like
+    # printf and Java DecimalFormat (the reference's snprintf path)
+    negative = math.copysign(1.0, x) < 0
     if negative and cp.negative is not None:
         sub = cp.negative
         # digits always come from the positive subpattern (XSLT 1.0)

@@ -152,12 +152,16 @@ def q_dedup_exact(sf_dir: str) -> Dataset:
     parts = partition_by_conv(keyed, 16, keys=["__h"])
 
     def dedup(t: pa.Table) -> pa.Table:
-        df = t.select(["doc_id", "text"]).to_pandas()
-        g = df.groupby("text", sort=False)["doc_id"]
-        out = pd.DataFrame({"doc_id": g.min(), "n_copies": g.size()}).reset_index()
-        out = out[["doc_id", "text", "n_copies"]]
-        out["n_copies"] = out["n_copies"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        g = t.select(["doc_id", "text"]).group_by("text", use_threads=False).aggregate(
+            [("doc_id", "min"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "doc_id": as_array(pc.cast(g["doc_id_min"], pa.int64())),
+                "text": as_array(g["text"]),
+                "n_copies": as_array(pc.cast(g["count_all"], pa.int64())),
+            }
+        )
 
     return map_partitions(parts, dedup)
 

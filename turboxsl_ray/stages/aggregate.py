@@ -45,32 +45,47 @@ def collect_tables(ds: Dataset) -> list[pa.Table]:
     return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
 
 def _partial_block(tbl: pa.Table, keys: list[str], specs: dict[str, tuple]) -> pa.Table:
-    """Per-block partial aggregate: one output row per key combo."""
+    """Per-block partial aggregate: one output row per key combo.
+
+    Arrow's C++ group_by does the per-block work (the hot path runs
+    over full input blocks); only renaming happens in Python."""
     need = set(keys)
-    for col, _ in specs.values():
+    agg_list: list[tuple] = []  # unique (col|[], fn) requests
+
+    def want(col, fn) -> str:
+        """Request an aggregation; return Arrow's produced column name
+        (dedup: two specs over the same (col, fn) share one column)."""
+        req = (col if col is not None else [], fn)
+        if req not in agg_list:
+            agg_list.append(req)
+        return f"{col}_{fn}" if col is not None else "count_all"
+
+    out_cols: list[tuple[str, str]] = []  # (out_name, produced_name)
+    for name, (col, kind) in specs.items():
+        if kind not in _KINDS:
+            raise ValueError(f"unknown agg kind {kind!r} (want one of {_KINDS})")
         if col is not None:
             need.add(col)
-    df = tbl.select(sorted(need)).to_pandas()
-    g = df.groupby(keys, sort=False, dropna=False)
-    out: dict[str, Any] = {}
-    for name, (col, kind) in specs.items():
         if kind == "sum":
-            out[f"__s_{name}"] = g[col].sum()
+            out_cols.append((f"__s_{name}", want(col, "sum")))
         elif kind == "count":
-            out[f"__c_{name}"] = g.size()
+            # count_all counts rows (null group keys included), matching
+            # the pandas size() semantics the final combine expects
+            out_cols.append((f"__c_{name}", want(None, "count_all")))
         elif kind == "count_valid":
-            out[f"__c_{name}"] = g[col].count()
+            out_cols.append((f"__c_{name}", want(col, "count")))
         elif kind == "min":
-            out[f"__mn_{name}"] = g[col].min()
+            out_cols.append((f"__mn_{name}", want(col, "min")))
         elif kind == "max":
-            out[f"__mx_{name}"] = g[col].max()
+            out_cols.append((f"__mx_{name}", want(col, "max")))
         elif kind == "mean":
-            out[f"__s_{name}"] = g[col].sum()
-            out[f"__c_{name}"] = g[col].count()
-        else:
-            raise ValueError(f"unknown agg kind {kind!r} (want one of {_KINDS})")
-    res = pd.DataFrame(out).reset_index()
-    return pa.Table.from_pandas(res, preserve_index=False)
+            out_cols.append((f"__s_{name}", want(col, "sum")))
+            out_cols.append((f"__c_{name}", want(col, "count")))
+    g = tbl.select(sorted(need)).group_by(keys, use_threads=False).aggregate(agg_list)
+    cols = {k: g[k] for k in keys}
+    for out_name, produced in out_cols:
+        cols[out_name] = g[produced]
+    return pa.table(cols)
 
 
 def groupby_small(
