@@ -108,6 +108,43 @@ def test_ngram_jaccard_df_cap(ray_session, dup_dir):
     assert {(j, 100 + j) for j in range(5)} <= got
 
 
+def test_winnow_kernel_guarantee():
+    """The winnowing guarantee: two byte strings sharing a substring of
+    length >= W + K - 1 share at least one selected fingerprint; and a
+    doc always shares ALL fingerprints with itself."""
+    import numpy as np
+
+    from turboxsl_ray.pipelines.text import WINNOW_K, WINNOW_W, _winnow_doc
+
+    rng = np.random.default_rng(11)
+
+    def rand_bytes(n):
+        return bytes(rng.integers(97, 123, n, dtype=np.uint8))
+
+    shared = rand_bytes(WINNOW_W + WINNOW_K - 1)
+    a = rand_bytes(50) + shared + rand_bytes(50)
+    b = rand_bytes(40) + shared + rand_bytes(60)
+    fa, fb = _winnow_doc(a), _winnow_doc(b)
+    assert len(np.intersect1d(fa, fb)) >= 1
+    np.testing.assert_array_equal(_winnow_doc(a), fa)  # deterministic
+    assert len(_winnow_doc(b"")) == 0
+    assert len(_winnow_doc(b"x" * (WINNOW_K - 1))) == 0
+
+
+def test_winnow_dedup_planted(ray_session, dup_dir):
+    """Exact copies rank top by shared fraction; near-dups found."""
+    from turboxsl_ray.pipelines.text import q_winnow_dedup
+
+    df = q_winnow_dedup(dup_dir).to_pandas()
+    got = {tuple(p) for p in df[["doc_a", "doc_b"]].to_numpy()}
+    for j in range(5):
+        assert (j, 100 + j) in got  # exact copies
+    exact = df[(df["doc_a"] < 5) & (df["doc_b"] >= 100)]
+    assert (exact["shared_frac"] == 1.0).all()
+    near = {(10 + j, 200 + j) for j in range(5)}
+    assert len(near & got) >= 4  # near-dups (one word changed)
+
+
 def test_simhash_near_dup_hamming(ray_session, dup_dir):
     """SimHash of near-dups differs in few bits; random pairs in many."""
     from turboxsl_ray.pipelines.text import q_simhash

@@ -67,19 +67,29 @@ def read_documents(
 # per-doc scalar features
 # --------------------------------------------------------------------------
 
+# GPT-2-style pretokenizer classes, RE2 syntax: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+# Arrow's count_substring_regex and DuckDB's regexp_* both run RE2, so
+# the SQL oracle counts with the IDENTICAL engine semantics.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def q_token_stats(sf_dir: str) -> Dataset:
-    """doc_id, n_chars (codepoints), n_tokens (whitespace-run split)."""
+    """doc_id, n_chars (codepoints), n_tokens (whitespace-run split),
+    n_bpe_tokens (BPE-ish pretokenizer match count)."""
     ds = read_documents(sf_dir, ["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         text = t["text"]
         trimmed = pc.utf8_trim_whitespace(text)
         n_tokens = pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1)
+        n_bpe = pc.count_substring_regex(text, BPE_TOKEN_RE)
         return pa.table(
             {
                 "doc_id": as_array(t["doc_id"]),
                 "n_chars": as_array(pc.cast(pc.utf8_length(text), pa.int64())),
                 "n_tokens": as_array(pc.cast(n_tokens, pa.int64())),
+                "n_bpe_tokens": as_array(pc.cast(n_bpe, pa.int64())),
             }
         )
 
@@ -343,6 +353,125 @@ def q_ngram_jaccard_capped(sf_dir: str, df_cap: int = NGRAM_DF_CAP) -> Dataset:
     is a lower bound and very-common-boilerplate pairs may be missed —
     a subset of the uncapped result (pinned by tests), no SQL oracle."""
     return q_ngram_jaccard(sf_dir, df_cap=df_cap)
+
+
+# --------------------------------------------------------------------------
+# Winnowing (rolling-hash) document fingerprints — MOSS-style
+# --------------------------------------------------------------------------
+
+WINNOW_K = 12   # byte k-gram length for the rolling hash
+WINNOW_W = 24   # winnowing window (guarantee: any shared substring of
+                # length >= W + K - 1 yields at least one shared print)
+_WINNOW_BASE = np.uint64(1099511628211)
+
+
+def _winnow_doc(b: bytes) -> np.ndarray:
+    """Selected (unique) rolling-hash fingerprints of one document:
+    polynomial byte k-gram hashes, minimum per sliding window of W —
+    the classic winnowing scheme, fully vectorized."""
+    if len(b) < WINNOW_K:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    powers = _WINNOW_BASE ** np.arange(WINNOW_K - 1, -1, -1, dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(arr, WINNOW_K)
+    h = (grams * powers[None, :]).sum(axis=1)  # uint64 wraparound hash
+    if len(h) <= WINNOW_W:
+        return np.unique(h.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W).min(axis=1)
+    return np.unique(mins)
+
+
+def _winnow_block(t: pa.Table) -> pa.Table:
+    """documents block → (fp, doc_id, n_fp) inverted fingerprint rows
+    (same shape as the shingle inverted index)."""
+    texts = as_array(t["text"]).to_pylist()
+    ids = as_array(t["doc_id"]).to_numpy()
+    fps = [_winnow_doc(s.encode("utf-8")) for s in texts]
+    sizes = np.array([len(f) for f in fps], dtype=np.int64)
+    g = np.concatenate(fps) if fps else np.empty(0, dtype=np.uint64)
+    return pa.table(
+        {
+            "g": pa.array(g.astype(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, sizes), type=pa.int64()),
+            "nd": pa.array(np.repeat(sizes, sizes), type=pa.int64()),
+        }
+    )
+
+
+WINNOW_DF_CAP = 64
+
+
+def q_winnow_dedup(
+    sf_dir: str, min_shared: int = 2, df_cap: int = WINNOW_DF_CAP
+) -> Dataset:
+    """Rolling-hash fingerprint near-dup candidates: documents sharing
+    >= ``min_shared`` winnowed fingerprints (plus the shared fraction
+    of the smaller document's print set).
+
+    Same physical plan as the exact n-gram path — fingerprint-keyed
+    shuffle, vectorized pair emission (df-capped: a boilerplate print
+    shared by everyone is evidence-free), pair-keyed combine — but the
+    inverted index holds O(len/W) winnowed prints per doc instead of
+    every shingle, an ~W× lighter index. Rows-only check; guarantees
+    pinned by pytest (shared substring >= W+K-1 => shared print)."""
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+
+    inv = map_partitions(ds, _winnow_block)
+    by_fp = partition_by_conv(inv, 16, keys=["g"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_PARTIAL_SCHEMA.empty_table()
+        t = t.sort_by([("g", "ascending"), ("doc_id", "ascending")])
+        g = as_array(t["g"]).to_numpy()
+        d = as_array(t["doc_id"]).to_numpy()
+        nd = as_array(t["nd"]).to_numpy()
+        ai, bi = _emit_gram_pairs(g, df_cap)
+        if len(ai) == 0:
+            return _PAIR_PARTIAL_SCHEMA.empty_table()
+        da, db, na, nb = d[ai], d[bi], nd[ai], nd[bi]
+        order = np.lexsort((db, da))
+        da, db, na, nb = da[order], db[order], na[order], nb[order]
+        first = np.concatenate(([True], (da[1:] != da[:-1]) | (db[1:] != db[:-1])))
+        idx = np.flatnonzero(first)
+        c = np.diff(np.append(idx, len(da)))
+        return pa.table(
+            {"da": pa.array(da[idx]), "db": pa.array(db[idx]),
+             "c": pa.array(c.astype(np.int64)),
+             "na": pa.array(na[idx]), "nb": pa.array(nb[idx])},
+            schema=_PAIR_PARTIAL_SCHEMA,
+        )
+
+    by_pair = partition_by_conv(map_partitions(by_fp, pair_counts), 16,
+                                keys=["da", "db"])
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_shared", pa.int64()), ("shared_frac", pa.float64())]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        gt = t.group_by(["da", "db"]).aggregate(
+            [("c", "sum"), ("na", "min"), ("nb", "min")]
+        )
+        c = gt["c_sum"].to_numpy().astype(np.int64)
+        na = gt["na_min"].to_numpy().astype(np.float64)
+        nb = gt["nb_min"].to_numpy().astype(np.float64)
+        frac = c / np.minimum(na, nb)
+        keep = pa.array(c >= min_shared)
+        return pa.table(
+            {
+                "doc_a": as_array(gt["da"]).filter(keep),
+                "doc_b": as_array(gt["db"]).filter(keep),
+                "n_shared": pa.array(c[c >= min_shared]),
+                "shared_frac": pa.array(np.round(frac[c >= min_shared], 6)),
+            },
+            schema=out_schema,
+        )
+
+    return map_partitions(by_pair, finalize)
 
 
 # --------------------------------------------------------------------------

@@ -283,9 +283,10 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     # ---- text analysis / dedup ----
     "token_stats": (
         text.q_token_stats,
-        """SELECT doc_id,
+        f"""SELECT doc_id,
                   CAST(length(text) AS BIGINT) AS n_chars,
-                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                  CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
            FROM documents""",
     ),
     "quality_score": (
@@ -351,6 +352,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     ),
     "approx_distinct_parts": (relational.q_approx_distinct_parts, None),  # sketch, error pinned by tests
     "ngram_jaccard_capped": (text.q_ngram_jaccard_capped, None),  # df-pruned recall, subset pinned by tests
+    "winnow_dedup": (text.q_winnow_dedup, None),  # rolling-hash fingerprints; guarantees pinned by tests
     "minhash_lsh": (text.q_minhash_lsh, None),  # LSH not SQL-expressible
     "simhash": (text.q_simhash, None),
     "lang_id": (text.q_lang_id, None),
