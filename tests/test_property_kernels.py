@@ -222,3 +222,20 @@ def test_format_number_fixed_pattern_matches_printf(x):
 
     cp = compile_pattern("0.00")
     assert format_value(x, cp) == f"{x:.2f}".replace("-0.00", "-0.00")
+
+
+@given(left=keyed_series(), right=keyed_series(), w=st.integers(1, 15))
+@settings(max_examples=200, deadline=None)
+def test_range_count_sum_matches_bruteforce(left, right, w):
+    """Trailing-interval join kernel == O(n*m) brute force: count/sum
+    of right rows with same key and ts' in (ts - w, ts]."""
+    from turboxsl_ray.kernels.asof import range_count_sum
+
+    lk, lt = left
+    rk, rt = right
+    rv = (rt * 7 + rk).astype(np.int64)  # deterministic values
+    n, s = range_count_sum(lk, lt, rk, rt, rv, w)
+    for i in range(len(lk)):
+        mask = (rk == lk[i]) & (rt > lt[i] - w) & (rt <= lt[i])
+        assert n[i] == mask.sum()
+        assert s[i] == rv[mask].sum()

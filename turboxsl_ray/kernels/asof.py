@@ -70,3 +70,50 @@ def asof_backward_indices(
         too_old = matched & ((left_ts - taken_ts) > tolerance_us)
         out[too_old] = -1
     return out
+
+
+def window_rank(
+    right_keys: np.ndarray,
+    right_ts: np.ndarray,
+    left_keys: np.ndarray,
+    left_ts: np.ndarray,
+) -> np.ndarray:
+    """For each left row: the number of right rows lexicographically
+    <= ``(key, ts)`` (right rows tie-break BEFORE left rows at equal
+    (key, ts), so equal timestamps count as included). Both sides may
+    be in any order; O((n+m) log(n+m)) with no Python loop.
+
+    Two ranks at shifted timestamps bound a trailing interval: rows in
+    ``(ts - w, ts]`` = rank(ts) - rank(ts - w) — the range-join kernel
+    (``preceding-sibling`` generalized from [1] to a time window)."""
+    n_r, n_l = len(right_keys), len(left_keys)
+    codes = np.concatenate([right_keys, left_keys])
+    ts = np.concatenate([right_ts, left_ts])
+    src = np.concatenate(
+        [np.zeros(n_r, dtype=np.int8), np.ones(n_l, dtype=np.int8)]
+    )
+    perm = np.lexsort((src, ts, codes))
+    is_r = src[perm] == 0
+    cum = np.cumsum(is_r)
+    lpos = np.flatnonzero(~is_r)
+    out = np.empty(n_l, dtype=np.int64)
+    out[perm[lpos] - n_r] = cum[lpos]
+    return out
+
+
+def range_count_sum(
+    left_keys: np.ndarray,
+    left_ts: np.ndarray,
+    right_keys: np.ndarray,
+    right_ts: np.ndarray,
+    right_vals: np.ndarray,
+    window: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per left row: count and sum of right rows of the same key with
+    ``ts' in (ts - window, ts]``. The RIGHT side must be sorted by
+    (key, ts) (its prefix sums are taken in that order); the left side
+    may be in any order. Exact for integer ``right_vals`` (cents)."""
+    hi = window_rank(right_keys, right_ts, left_keys, left_ts)
+    lo = window_rank(right_keys, right_ts, left_keys, left_ts - window)
+    prefix = np.concatenate(([0], np.cumsum(right_vals)))
+    return hi - lo, prefix[hi] - prefix[lo]

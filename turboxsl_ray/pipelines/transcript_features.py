@@ -270,6 +270,48 @@ def q_asof_join(sf_dir: str) -> Dataset:
     )
 
 
+RANGE_WINDOW_US = 10 * 60 * 1_000_000
+
+
+def q_range_join(sf_dir: str) -> Dataset:
+    """Trailing RANGE (interval) join: for every turn, count + exact
+    cents-sum of the conversation's purchases with ``ts' in
+    (ts - 10min, ts]`` — ``preceding-sibling::x[1]`` generalized from
+    "the latest one" to "all within a time window" (a shape Ray Data
+    has no built-in for; kernels/asof.range_count_sum). Both sides come
+    out of the same conv-partitioned block, so the join is
+    partition-local after the one conv-hash exchange."""
+    from turboxsl_ray.kernels.arrays import to_cents
+    from turboxsl_ray.kernels.asof import range_count_sum
+
+    def feats(t: pa.Table) -> pa.Table:
+        conv = as_array(t["conv_id"])
+        starts = W.segment_starts_from_arrow(conv)
+        conv_codes = np.cumsum(starts) - 1
+        ts_us = as_array(t["ts"].cast(pa.int64())).to_numpy()
+        is_p = pc.equal(as_array(t["role"]), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        cents = to_cents(as_array(t["value"]).to_numpy(zero_copy_only=False))
+        n, s = range_count_sum(
+            conv_codes, ts_us,
+            conv_codes[is_p], ts_us[is_p], cents[is_p],
+            RANGE_WINDOW_US,
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": as_array(t["turn_idx"]),
+                "n_recent": pa.array(n, type=pa.int64()),
+                "sum_recent": pa.array(s / 100.0, type=pa.float64()),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
 def q_session_stats(sf_dir: str) -> Dataset:
     """Per-(conversation, session) rollup — sessions never straddle
     blocks, so this is a block-local aggregate (no second shuffle)."""

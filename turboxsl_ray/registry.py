@@ -81,6 +81,17 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         SELECT t.conv_id, t.turn_idx, t.ts, p.ts AS purchase_ts, p.purchase_value
         FROM t ASOF LEFT JOIN p ON t.conv_id = p.conv_id AND t.ts >= p.ts""",
     ),
+    "range_join": (
+        transcript_features.q_range_join,
+        f"""{_T},
+        p AS (SELECT conv_id, ts, value FROM t WHERE role = 'purchase')
+        SELECT t.conv_id, t.turn_idx,
+               CAST(COUNT(p.ts) AS BIGINT) AS n_recent,
+               COALESCE(SUM(CAST(ROUND(p.value * 100, 0) AS BIGINT)), 0) / 100.0 AS sum_recent
+        FROM t LEFT JOIN p ON p.conv_id = t.conv_id AND p.ts <= t.ts
+              AND p.ts > t.ts - INTERVAL '10 minutes'
+        GROUP BY t.conv_id, t.turn_idx""",
+    ),
     "session_stats": (
         transcript_features.q_session_stats,
         f"""{_SESSION_CTE}
