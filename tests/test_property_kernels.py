@@ -239,3 +239,59 @@ def test_range_count_sum_matches_bruteforce(left, right, w):
         mask = (rk == lk[i]) & (rt > lt[i] - w) & (rt <= lt[i])
         assert n[i] == mask.sum()
         assert s[i] == rv[mask].sum()
+
+
+@given(left=keyed_series(), right=keyed_series())
+@settings(max_examples=200, deadline=None)
+def test_asof_forward_matches_merge_asof(left, right):
+    from turboxsl_ray.kernels.asof import asof_forward_indices
+
+    lk, lt = left
+    rk, rt = right
+    idx = asof_forward_indices(lk, lt, rk, rt)
+    ldf = pd.DataFrame({"k": lk, "ts": lt})
+    rdf = pd.DataFrame({"k": rk, "ts": rt, "ridx": np.arange(len(rk))})
+    if len(ldf) == 0:
+        assert len(idx) == 0
+        return
+    merged = pd.merge_asof(
+        ldf.sort_values("ts", kind="stable"),
+        rdf.sort_values("ts", kind="stable"),
+        by="k", on="ts", direction="forward",
+    ).sort_values(["k", "ts"], kind="stable")
+    expect = merged["ridx"].to_numpy()
+    assert ((idx >= 0) == ~np.isnan(expect)).all()
+    ok = idx >= 0
+    if ok.any():
+        assert (rt[idx[ok]] == rt[expect[ok].astype(int)]).all()
+        assert (rk[idx[ok]] == rk[expect[ok].astype(int)]).all()
+
+
+@given(left=keyed_series(), right=keyed_series())
+@settings(max_examples=200, deadline=None)
+def test_asof_nearest_matches_merge_asof(left, right):
+    from turboxsl_ray.kernels.asof import asof_nearest_indices
+
+    lk, lt = left
+    rk, rt = right
+    idx = asof_nearest_indices(lk, lt, rk, rt)
+    ldf = pd.DataFrame({"k": lk, "ts": lt})
+    rdf = pd.DataFrame({"k": rk, "ts": rt, "ridx": np.arange(len(rk))})
+    if len(ldf) == 0:
+        assert len(idx) == 0
+        return
+    merged = pd.merge_asof(
+        ldf.sort_values("ts", kind="stable"),
+        rdf.sort_values("ts", kind="stable"),
+        by="k", on="ts", direction="nearest",
+    ).sort_values(["k", "ts"], kind="stable")
+    expect = merged["ridx"].to_numpy()
+    assert ((idx >= 0) == ~np.isnan(expect)).all()
+    ok = idx >= 0
+    if ok.any():
+        # compare the DISTANCE achieved (tie direction may differ in
+        # index position but never in |ts'-ts|)
+        got_d = np.abs(rt[idx[ok]] - lt[ok])
+        want_d = np.abs(rt[expect[ok].astype(int)] - lt[ok])
+        assert (got_d == want_d).all()
+        assert (rk[idx[ok]] == lk[ok]).all()

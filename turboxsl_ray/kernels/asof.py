@@ -117,3 +117,74 @@ def range_count_sum(
     lo = window_rank(right_keys, right_ts, left_keys, left_ts - window)
     prefix = np.concatenate(([0], np.cumsum(right_vals)))
     return hi - lo, prefix[hi] - prefix[lo]
+
+
+def asof_forward_indices(
+    left_keys: np.ndarray,
+    left_ts: np.ndarray,
+    right_keys: np.ndarray,
+    right_ts: np.ndarray,
+    tolerance_us: int | None = None,
+) -> np.ndarray:
+    """Forward as-of: for each left row, the right row of the same key
+    with the SMALLEST ``ts' >= ts`` (among duplicate right timestamps
+    the FIRST in sort order wins, matching
+    ``pandas.merge_asof(direction="forward")``); -1 for no match.
+
+    Forward selection is anti-causal — it reads the future — so it is
+    for LABELS (e.g. "next purchase after this turn"), never for
+    point-in-time features; name outputs ``next_*``/``lead_*`` so the
+    leakage tests can assert on the feature set. Same sortedness
+    contract as :func:`asof_backward_indices`."""
+    n = len(left_ts)
+    out = np.full(n, -1, dtype=np.int64)
+    if n == 0 or len(right_ts) == 0:
+        return out
+
+    run_starts = np.flatnonzero(
+        np.concatenate(([True], left_keys[1:] != left_keys[:-1]))
+    )
+    run_ends = np.append(run_starts[1:], n)
+    run_keys = left_keys[run_starts]
+
+    r_lo = np.searchsorted(right_keys, run_keys, side="left")
+    r_hi = np.searchsorted(right_keys, run_keys, side="right")
+
+    for s, e, lo, hi in zip(run_starts, run_ends, r_lo, r_hi):
+        if lo == hi:
+            continue
+        pos = np.searchsorted(right_ts[lo:hi], left_ts[s:e], side="left")
+        idx = np.where(pos < (hi - lo), pos + lo, -1)
+        out[s:e] = idx
+
+    if tolerance_us is not None:
+        matched = out >= 0
+        taken_ts = right_ts[np.where(matched, out, 0)]
+        too_far = matched & ((taken_ts - left_ts) > tolerance_us)
+        out[too_far] = -1
+    return out
+
+
+def asof_nearest_indices(
+    left_keys: np.ndarray,
+    left_ts: np.ndarray,
+    right_keys: np.ndarray,
+    right_ts: np.ndarray,
+    tolerance_us: int | None = None,
+) -> np.ndarray:
+    """Nearest as-of: the right row minimizing ``|ts' - ts|``; backward
+    wins ties, matching ``pandas.merge_asof(direction="nearest")``."""
+    back = asof_backward_indices(left_keys, left_ts, right_keys, right_ts)
+    fwd = asof_forward_indices(left_keys, left_ts, right_keys, right_ts)
+    if len(right_ts) == 0:
+        return back
+    b_ok, f_ok = back >= 0, fwd >= 0
+    b_dist = np.where(b_ok, left_ts - right_ts[np.where(b_ok, back, 0)], 0)
+    f_dist = np.where(f_ok, right_ts[np.where(f_ok, fwd, 0)] - left_ts, 0)
+    use_fwd = f_ok & (~b_ok | (f_dist < b_dist))
+    out = np.where(use_fwd, fwd, back)
+    if tolerance_us is not None:
+        matched = out >= 0
+        dist = np.where(use_fwd, f_dist, b_dist)
+        out = np.where(matched & (dist <= tolerance_us), out, -1)
+    return out

@@ -66,3 +66,79 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile sketch: two cheap passes (min/max, then counts),
+# deterministic, merges by vector ADD. Value-space error <= range/bins.
+# --------------------------------------------------------------------------
+
+
+def hist_partial(values: np.ndarray, lo: float, hi: float, bins: int) -> np.ndarray:
+    """int64 bin-count vector for one block (values clipped into
+    [lo, hi]; equal-width bins)."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[np.isfinite(v)]
+    if hi <= lo:
+        out = np.zeros(bins, dtype=np.int64)
+        out[0] = len(v)
+        return out
+    idx = np.clip(((v - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1)
+    return np.bincount(idx, minlength=bins).astype(np.int64)
+
+
+def hist_quantiles(
+    counts: np.ndarray, lo: float, hi: float, qs
+) -> np.ndarray:
+    """Quantile estimates from a merged histogram: locate the bin where
+    the cumulative count crosses q*n, interpolate linearly within it.
+    Deterministic; absolute value error <= (hi - lo) / bins."""
+    total = int(counts.sum())
+    bins = len(counts)
+    width = (hi - lo) / bins if hi > lo else 0.0
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    out = np.empty(len(qs), dtype=np.float64)
+    for i, q in enumerate(qs):
+        if total == 0:
+            out[i] = lo
+            continue
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = max(1, min(b, bins)) - 1
+        inbin = counts[b]
+        frac = (target - cum[b]) / inbin if inbin else 0.0
+        out[i] = lo + (b + frac) * width
+    return out
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch + heavy hitters: d x w counter matrix, merged by
+# ADD; estimates only ever OVER-count. Candidates come from per-block
+# exact local top-k (any global heavy hitter is heavy in some block).
+# --------------------------------------------------------------------------
+
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def cms_partial(values, width: int = 2048, depth: int = 4) -> np.ndarray:
+    """(depth, width) int64 count-min partial for one block."""
+    h = stable_hash64(values)
+    out = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        idx = ((h * _CMS_SEEDS[d]) >> np.uint64(40)) % np.uint64(width)
+        np.add.at(out[d], idx.astype(np.int64), 1)
+    return out
+
+
+def cms_estimate(sketch: np.ndarray, values) -> np.ndarray:
+    """Point estimates (min over rows) for each value; >= true count."""
+    h = stable_hash64(values)
+    depth, width = sketch.shape
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = ((h * _CMS_SEEDS[d]) >> np.uint64(40)) % np.uint64(width)
+        est = np.minimum(est, sketch[d][idx.astype(np.int64)])
+    return est

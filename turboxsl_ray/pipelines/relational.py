@@ -610,3 +610,100 @@ def sample_dataset(ds: Dataset, fraction: float, seed: int = 42) -> Dataset:
     """Seeded row sampling (bench subsets; the reference has no
     sampling operator, SURVEY.md §2.4)."""
     return ds.random_sample(fraction, seed=seed)
+
+
+QUANTILE_BINS = 512
+QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_approx_quantiles(sf_dir: str, bins: int = QUANTILE_BINS) -> pd.DataFrame:
+    """Approximate quantiles of l_extendedprice via a two-pass
+    histogram sketch: pass 1 = per-block (min, max) partials; pass 2 =
+    per-block equal-width bin counts (one int64 vector per block,
+    merged by ADD on the driver). Deterministic; absolute error
+    <= (max-min)/bins, pinned by tests against exact quantiles.
+    Rows-only driver check (approximate by construction)."""
+    from turboxsl_ray.kernels.sketches import hist_partial, hist_quantiles
+    from turboxsl_ray.stages.aggregate import collect_tables
+
+    col = "l_extendedprice"
+    ds_factory = lambda: read_table(sf_dir, "lineitem", columns=[col])
+
+    def mm(t: pa.Table) -> pa.Table:
+        v = as_array(t[col]).to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    lo, hi = np.inf, -np.inf
+    for t in collect_tables(map_partitions(ds_factory(), mm)):
+        lo = min(lo, t["lo"][0].as_py())
+        hi = max(hi, t["hi"][0].as_py())
+
+    def hp(t: pa.Table) -> pa.Table:
+        v = as_array(t[col]).to_numpy(zero_copy_only=False)
+        counts = hist_partial(v, lo, hi, bins)
+        return pa.table({"h": pa.array([counts.tobytes()], pa.binary())})
+
+    merged = np.zeros(bins, dtype=np.int64)
+    for t in collect_tables(map_partitions(ds_factory(), hp)):
+        for b in t["h"].to_pylist():
+            merged += np.frombuffer(b, dtype=np.int64)
+
+    est = hist_quantiles(merged, lo, hi, QUANTILE_QS)
+    return pd.DataFrame(
+        {"q": np.array(QUANTILE_QS, np.float64),
+         "value_est": np.round(est, 4)}
+    )
+
+
+HH_K = 10
+
+
+def q_heavy_hitters(sf_dir: str, k: int = HH_K) -> pd.DataFrame:
+    """Top-k most frequent users via count-min + per-block candidates:
+    each block emits its CMS partial (merged by ADD — sizes are fixed
+    KBs) plus its exact local top-k as candidates (any global heavy
+    hitter is heavy in at least one block at this skew). Estimates
+    only ever OVER-count; containment of the exact top-k is pinned by
+    tests. Rows-only driver check."""
+    from turboxsl_ray.kernels.sketches import cms_estimate, cms_partial
+    from turboxsl_ray.stages.aggregate import collect_tables
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = as_array(pc.cast(t["user_id"], pa.int64()))
+        sk = cms_partial(ids)
+        g = pa.table({"u": ids}).group_by("u").aggregate([([], "count_all")])
+        cnt = g["count_all"].to_numpy()
+        top = np.argsort(-cnt, kind="stable")[: 4 * k]
+        cand = g["u"].to_numpy()[top]
+        return pa.table(
+            {
+                "sketch": pa.array([sk.tobytes()] + [None] * len(cand), pa.binary()),
+                "cand": pa.array(
+                    np.concatenate(([0], cand)), type=pa.int64()
+                ),
+                "is_sketch": pa.array([True] + [False] * len(cand)),
+            }
+        )
+
+    sketch = None
+    cands: list[int] = []
+    for t in collect_tables(map_partitions(ds, partial)):
+        for blob, cand, is_sk in zip(
+            t["sketch"].to_pylist(), t["cand"].to_pylist(), t["is_sketch"].to_pylist()
+        ):
+            if is_sk:
+                part = np.frombuffer(blob, dtype=np.int64).reshape(4, -1)
+                sketch = part.copy() if sketch is None else sketch + part
+            else:
+                cands.append(int(cand))
+    if sketch is None:
+        return pd.DataFrame({"user_id": [], "est_count": []})
+    uniq = np.unique(np.array(cands, dtype=np.int64))
+    est = cms_estimate(sketch, pa.array(uniq, pa.int64()))
+    order = np.lexsort((uniq, -est))[:k]
+    return pd.DataFrame(
+        {"user_id": uniq[order], "est_count": est[order].astype(np.int64)}
+    )

@@ -270,6 +270,59 @@ def q_asof_join(sf_dir: str) -> Dataset:
     )
 
 
+def q_asof_forward(sf_dir: str) -> Dataset:
+    """FORWARD as-of (label join): for every turn, the NEXT purchase
+    (smallest ts' >= ts) of the same conversation. Anti-causal by
+    design — this is how training LABELS are built; the ``next_*``
+    naming keeps it out of the point-in-time feature set the leakage
+    tests police (kernels/asof.asof_forward_indices)."""
+    from turboxsl_ray.kernels.asof import asof_forward_indices
+
+    def feats(t: pa.Table) -> pa.Table:
+        conv = as_array(t["conv_id"])
+        starts = W.segment_starts_from_arrow(conv)
+        conv_codes = np.cumsum(starts) - 1
+        ts_us = as_array(t["ts"].cast(pa.int64())).to_numpy()
+        is_p = pc.equal(as_array(t["role"]), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        val = as_array(t["value"]).to_numpy(zero_copy_only=False)
+
+        p_codes, p_ts, p_val = conv_codes[is_p], ts_us[is_p], val[is_p]
+        if len(p_ts):
+            rstart = np.concatenate(
+                ([True], (p_codes[1:] != p_codes[:-1]) | (p_ts[1:] != p_ts[:-1]))
+            )
+            ridx = np.flatnonzero(rstart)
+            r_codes, r_ts = p_codes[ridx], p_ts[ridx]
+            r_val = np.round(_reduceat(p_val, ridx), 3)
+        else:
+            r_codes = np.empty(0, dtype=np.int64)
+            r_ts = np.empty(0, dtype=np.int64)
+            r_val = np.empty(0, dtype=np.float64)
+
+        idx = asof_forward_indices(conv_codes, ts_us, r_codes, r_ts)
+        hit = idx >= 0
+        safe = np.where(hit, idx, 0)
+        pv = np.where(hit, r_val[safe] if len(r_val) else 0.0, np.nan)
+        pts = np.where(hit, r_ts[safe] if len(r_ts) else 0, 0)
+        return pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": as_array(t["turn_idx"]),
+                "ts": as_array(t["ts"]),
+                "next_purchase_ts": pa.array(
+                    pts, type=pa.int64(), mask=~hit
+                ).cast(pa.timestamp("us")),
+                "next_purchase_value": pa.array(pv, type=pa.float64(), mask=~hit),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
 RANGE_WINDOW_US = 10 * 60 * 1_000_000
 
 

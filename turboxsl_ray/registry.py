@@ -81,6 +81,17 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         SELECT t.conv_id, t.turn_idx, t.ts, p.ts AS purchase_ts, p.purchase_value
         FROM t ASOF LEFT JOIN p ON t.conv_id = p.conv_id AND t.ts >= p.ts""",
     ),
+    "asof_forward": (
+        transcript_features.q_asof_forward,
+        f"""{_T},
+        p AS (SELECT conv_id, ts, CAST(ROUND(SUM(value), 3) AS DOUBLE) AS purchase_value
+              FROM t WHERE role = 'purchase' GROUP BY conv_id, ts)
+        SELECT t.conv_id, t.turn_idx, t.ts,
+               MIN(p.ts) AS next_purchase_ts,
+               min_by(p.purchase_value, p.ts) AS next_purchase_value
+        FROM t LEFT JOIN p ON p.conv_id = t.conv_id AND p.ts >= t.ts
+        GROUP BY t.conv_id, t.turn_idx, t.ts""",
+    ),
     "range_join": (
         transcript_features.q_range_join,
         f"""{_T},
@@ -362,6 +373,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
            FROM documents""",
     ),
     "approx_distinct_parts": (relational.q_approx_distinct_parts, None),  # sketch, error pinned by tests
+    "approx_quantiles": (relational.q_approx_quantiles, None),  # histogram sketch, error bound pinned by tests
+    "heavy_hitters": (relational.q_heavy_hitters, None),  # count-min + candidates, containment pinned by tests
     "ngram_jaccard_capped": (text.q_ngram_jaccard_capped, None),  # df-pruned recall, subset pinned by tests
     "winnow_dedup": (text.q_winnow_dedup, None),  # rolling-hash fingerprints; guarantees pinned by tests
     "minhash_lsh": (text.q_minhash_lsh, None),  # LSH not SQL-expressible
