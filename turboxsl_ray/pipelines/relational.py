@@ -480,6 +480,11 @@ def q_order_lineitem_join(sf_dir: str) -> Dataset:
     )
 
     def rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
+                 ("n_lines", pa.int64()), ("revenue", pa.float64())]
+            ).empty_table()
         g = t.group_by(["o_orderkey", "o_orderpriority"]).aggregate(
             [("rev_c", "count"), ("rev_c", "sum")]
         )
@@ -602,7 +607,7 @@ def q_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
     blobs = []
     for t in collect_tables(map_partitions(ds, partial)):
         blobs.extend(np.frombuffer(b, dtype=np.uint8) for b in t["regs"].to_pylist())
-    est = hll_estimate(hll_merge(blobs))
+    est = hll_estimate(hll_merge(blobs)) if blobs else 0.0
     return pd.DataFrame({"approx_n_parts": np.array([round(est)], np.int64)})
 
 

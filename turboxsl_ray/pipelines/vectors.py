@@ -159,6 +159,8 @@ def q_embedding_pairs(
     this is the SQL-oracle-checked exact baseline."""
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     n = ds.count()
+    if n == 0:
+        return ray.data.from_arrow(_EMB_PAIR_SCHEMA.empty_table())
     tiles = max(1, -(-n // tile_rows))
     refs = ds.repartition(tiles).to_arrow_refs()
     out = [

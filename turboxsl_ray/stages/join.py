@@ -48,14 +48,23 @@ def copartition_join(
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
 
-    def _schema(ds: Dataset) -> pa.Schema:
+    def _schema(ds: Dataset) -> "pa.Schema | None":
         s = ds.schema()
+        if s is None:  # fully empty dataset (zero blocks)
+            return None
         base = getattr(s, "base_schema", s)
         if not isinstance(base, pa.Schema):
             base = pa.schema(list(zip(s.names, s.types)))
         return base
 
     lschema, rschema = _schema(left), _schema(right)
+    if lschema is None or rschema is None:
+        # a fully empty side can surface as schema-less (zero blocks);
+        # the join of nothing is nothing — callers' block fns must (and
+        # do) tolerate a zero-column empty block
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({}))
     lnames = list(lschema.names)
     rnames = [n for n in rschema.names if n != on]
     overlap = set(lnames) & set(rnames)
