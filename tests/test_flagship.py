@@ -217,6 +217,67 @@ def test_salting_bucket_plan_exact_despite_undercount(
     assert len(sub) > 150 and sub["feature_a"].iloc[150:].notna().any()
 
 
+def test_flagship_no_right_side(ray_session, small_tables, tmp_path_factory):
+    """right=None: window features only, oracle-equal, no as-of cols."""
+    import ray.data as rd
+
+    left_tbl, _ = small_tables
+    out_dir = str(tmp_path_factory.mktemp("noright"))
+    m = run_flagship(
+        rd.from_arrow(left_tbl), None, out_dir,
+        FlagshipConfig(num_partitions=6, salt_threshold_rows=10**9),
+    )
+    assert m["rows_written"] == left_tbl.num_rows
+    out = _read_out(out_dir)
+    assert "feature_a" not in out.columns
+    _compare(out, _oracle(left_tbl, None))
+
+
+def test_flagship_single_mega_conversation(ray_session, tmp_path_factory):
+    """The ultimate skew: EVERY row belongs to one conversation; the
+    whole input must be salted into buckets and still match the
+    oracle."""
+    import ray.data as rd
+
+    # mega_frac=0.99 + tiny base convs => one conversation holds ~99%
+    # of all turns (the generator pins tiny convs to 1 turn each)
+    left_tbl = synth_transcripts(
+        n_convs=3, mean_turns=5, seed=81, mega_frac=0.99, max_turns=200
+    )
+    right_tbl = synth_asof_side(left_tbl, seed=82, rows_per_conv=6,
+                                absent_frac=0.0)
+    counts = pd.Series(left_tbl["conv_id"].to_pylist()).value_counts()
+    assert counts.iloc[0] / len(left_tbl) > 0.9
+    out_dir = str(tmp_path_factory.mktemp("onemega"))
+    m = run_flagship(
+        rd.from_arrow(left_tbl).repartition(6), rd.from_arrow(right_tbl),
+        out_dir,
+        FlagshipConfig(num_partitions=8, salt_threshold_rows=100,
+                       salt_bucket_rows=64),
+    )
+    assert m["salted_convs"] == 1
+    out = _read_out(out_dir)
+    assert len(out) == left_tbl.num_rows
+    _compare(out, _oracle(left_tbl, right_tbl))
+    # the mega conversation really was spread over several partitions
+    assert len({r["part_id"] for r in m["manifest"] if r["row_count"]}) >= 2
+
+
+def test_flagship_empty_left(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from turboxsl_ray.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    empty = TRANSCRIPT_SCHEMA.empty_table()
+    out_dir = str(tmp_path_factory.mktemp("emptyleft"))
+    m = run_flagship(
+        rd.from_arrow(empty), None, out_dir,
+        FlagshipConfig(num_partitions=4, salt_threshold_rows=10**9),
+    )
+    assert m["rows_written"] == 0 and m["salted_convs"] == 0
+
+
 def test_resume_skips_done_and_is_identical(ray_session, small_tables, tmp_path_factory):
     """F6: kill after k partitions; resume completes; bytes identical."""
     import ray.data as rd
