@@ -80,3 +80,39 @@ def test_map_conversations(ray_session, transcript_dir):
     expect = src.groupby("conv_id").size()
     got = out.set_index("conv_id")["n_turns"]
     assert got.sort_index().tolist() == expect.sort_index().tolist()
+
+
+def test_cli_queries_listing(capsys):
+    from turboxsl_ray.__main__ import main
+
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "asof_join\toracle" in out
+    assert "minhash_lsh\trows-only" in out
+
+
+def test_cli_query_subcommand(ray_session, tmp_path, capsys):
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.__main__ import main
+
+    # unknown name → exit 2
+    assert main(["query", "nope", "--sf", "/root/testdata/sf0.001"]) == 2
+    capsys.readouterr()
+
+    # count mode
+    assert main(["query", "event_counts", "--sf", "/root/testdata/sf0.001"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == 5
+
+    # write mode (Dataset result)
+    out = str(tmp_path / "tok")
+    assert main(["query", "token_stats", "--sf", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    n = sum(pq.read_table(f).num_rows for f in files)
+    assert n == 500

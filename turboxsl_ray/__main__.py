@@ -35,15 +35,72 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--num-cpus", type=int, default=None,
                      help="local only; omit on a cluster")
+
+    qry = sub.add_parser("query", help="run one registry pipeline")
+    qry.add_argument("name", help="query name (see `query --list`)")
+    qry.add_argument("--sf", default="/root/testdata/sf0.001",
+                     help="input table directory")
+    qry.add_argument("--out", default=None,
+                     help="write result parquet here (else print row count)")
+    qry.add_argument("--num-cpus", type=int, default=None)
+
+    lst = sub.add_parser("queries", help="list registry pipelines")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "queries":
+        from turboxsl_ray import registry as R
+
+        sqls = R.oracle_sql()
+        for name in R.queries():
+            print(f"{name}\t{'oracle' if name in sqls else 'rows-only'}")
+        return 0
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         kw = {"include_dashboard": False}
         if args.num_cpus is not None:
             kw.update(address="local", num_cpus=args.num_cpus)
         ray.init(**kw)
+
+    if args.cmd == "query":
+        try:
+            import pyarrow as pa
+            import ray.data as rd
+
+            from turboxsl_ray import registry as R
+            from turboxsl_ray.context import tune_context
+
+            tune_context()
+            qs = R.queries()
+            if args.name not in qs:
+                print(f"unknown query {args.name!r}; run `queries` to list",
+                      file=sys.stderr)
+                return 2
+            res = qs[args.name](args.sf)
+            if args.out is not None:
+                if isinstance(res, rd.Dataset):
+                    res.write_parquet(args.out)
+                else:
+                    import pyarrow.parquet as pq
+
+                    t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(
+                        res, preserve_index=False)
+                    import os
+
+                    os.makedirs(args.out, exist_ok=True)
+                    pq.write_table(t, f"{args.out}/part-00000.parquet")
+                print(json.dumps({"query": args.name, "out": args.out}))
+            else:
+                n = res.count() if isinstance(res, rd.Dataset) else len(res)
+                print(json.dumps({"query": args.name, "rows": n}))
+        finally:
+            if owns_session:
+                ray.shutdown()
+        return 0
+
     try:
         from dataclasses import replace
 
@@ -72,7 +129,9 @@ def main(argv: list[str] | None = None) -> int:
         metrics.pop("stats", None)
         print(json.dumps(metrics))
     finally:
-        ray.shutdown()
+        # never tear down a session the caller owns (tests, notebooks)
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

@@ -171,9 +171,16 @@ def q_sort_nulls_last(sf_dir: str) -> pd.DataFrame:
     """Missing-key sentinel policy on sort (the reference coerces
     missing numeric sort keys to a sentinel, xpath.c:520-523): tool
     DESC with NULLS LAST — nullable keys never float to the top."""
-    from turboxsl_ray.pipelines.transcript_features import q_transcripts
+    from turboxsl_ray.pipelines.transcript_features import transcripts_pipeline
 
-    ds = q_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "tool"])
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "tool"])
+
+    # column-pruned derive: only the 4 events columns the derivation of
+    # these 3 output columns needs ever leave the parquet scan
+    ds = transcripts_pipeline(
+        sf_dir, project, columns=["event_id", "ts", "user_id", "event_type"]
+    )
     return topk(
         ds,
         keys=["tool", "conv_id", "turn_idx"],
