@@ -106,3 +106,13 @@ def test_entry_contract(ray_session):
     cols = set(res.schema().names)
     assert {"conv_id", "turn_idx", "text", "session_idx", "gap_us"} <= cols
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_sample_dataset_seeded_fraction(ray_session):
+    from turboxsl_ray.pipelines.relational import read_table, sample_dataset
+
+    ds = read_table(SF_DIR, "events", columns=["event_id"])
+    total = ds.count()
+    n = sample_dataset(ds, 0.3, seed=7).count()
+    # seeded Bernoulli sample: well within loose binomial bounds
+    assert 0.15 * total < n < 0.45 * total
