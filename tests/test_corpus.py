@@ -1,0 +1,138 @@
+"""Corpus-level operators: explode/TF-IDF invariants and near-dup
+connected components vs a brute-force union-find on planted chains."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _chain_docs(seed: int = 11) -> pa.Table:
+    """Docs with a planted near-dup CHAIN (a~b, b~c, c~d by one-word
+    edits) plus unrelated docs — clustering must be TRANSITIVE even
+    where the chain ends are below the pair threshold themselves."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(25):
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+        ids.append(i)
+    # each step edits 5 fresh positions: consecutive docs stay above
+    # the pair threshold, the chain ENDS fall below it — only the CC's
+    # transitive closure links them
+    chain = texts[0].split()
+    for step, positions in enumerate(((2, 8, 14, 20, 26), (5, 11, 17, 23, 29))):
+        chain = list(chain)
+        for p in positions:
+            chain[p] = f"EDIT{step}_{p}"
+        texts.append(" ".join(chain))
+        ids.append(100 + step)
+    # one exact-duplicate family
+    texts.append(texts[5])
+    ids.append(300)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+@pytest.fixture(scope="module")
+def chain_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("chaindocs")
+    pq.write_table(_chain_docs(), str(d / "documents.parquet"))
+    return str(d)
+
+
+def _union_find_clusters(pairs, all_ids):
+    parent = {int(i): int(i) for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min doc id per component
+    comp = {}
+    for i in all_ids:
+        r = find(int(i))
+        comp.setdefault(r, []).append(int(i))
+    return {i: min(m) for r, m in comp.items() for i in m}
+
+
+def test_near_dup_clusters_match_union_find(ray_session, chain_dir):
+    from turboxsl_ray.pipelines.corpus import q_near_dup_clusters
+    from turboxsl_ray.pipelines.text import q_ngram_jaccard
+
+    pairs = q_ngram_jaccard(chain_dir).to_pandas()
+    got = q_near_dup_clusters(chain_dir).to_pandas()
+    expected = _union_find_clusters(
+        pairs[["doc_a", "doc_b"]].to_numpy(), got["doc_id"].to_numpy()
+    )
+    for _, row in got.iterrows():
+        assert expected[int(row["doc_id"])] == int(row["cluster_id"])
+        assert bool(row["is_canonical"]) == (row["doc_id"] == row["cluster_id"])
+    # the planted chain is one transitive cluster rooted at doc 0 ...
+    chain_cluster = {
+        int(r["cluster_id"]) for _, r in got.iterrows() if r["doc_id"] in (0, 100, 101)
+    }
+    assert chain_cluster == {0}
+    # ... which only transitivity produces: the chain ends share no edge
+    direct = {tuple(p) for p in pairs[["doc_a", "doc_b"]].to_numpy()}
+    assert (0, 100) in direct and (100, 101) in direct
+    assert (0, 101) not in direct
+    # exact duplicate family collapses to the min id
+    assert int(got.set_index("doc_id").loc[300, "cluster_id"]) == 5
+    # exactly one canonical doc per cluster
+    canon_per_cluster = got.groupby("cluster_id")["is_canonical"].sum()
+    assert (canon_per_cluster == 1).all()
+
+
+def test_explode_tokens_round_trip(ray_session, chain_dir):
+    """Tokens re-joined in ordinal order reproduce the normalized
+    text — the explode is lossless up to whitespace runs."""
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines.corpus import q_explode_tokens
+
+    df = q_explode_tokens(chain_dir).to_pandas()
+    rebuilt = (
+        df.sort_values(["doc_id", "tok_idx"])
+        .groupby("doc_id")["token"]
+        .agg(" ".join)
+    )
+    src = pq.read_table(f"{chain_dir}/documents.parquet").to_pandas()
+    for _, row in src.iterrows():
+        norm = " ".join(row["text"].split())
+        assert rebuilt[row["doc_id"]] == norm
+    # ordinals are 1..n dense per doc
+    g = df.groupby("doc_id")["tok_idx"]
+    assert (g.min() == 1).all()
+    assert (g.max() == g.count()).all()
+
+
+def test_tfidf_invariants(ray_session, chain_dir):
+    from turboxsl_ray.pipelines.corpus import q_tfidf
+
+    df = q_tfidf(chain_dir).to_pandas()
+    n_docs = df["doc_id"].nunique()
+    # a token present in every doc has idf 0 => tfidf exactly 0
+    ubiquitous = df.groupby("token")["df"].first()
+    everywhere = ubiquitous[ubiquitous == 30].index  # 30 docs in fixture
+    if len(everywhere):
+        assert (df[df["token"].isin(everywhere)]["tfidf"] == 0.0).all()
+    # df is consistent: token row count == df value
+    per_token_rows = df.groupby("token")["doc_id"].nunique()
+    per_token_df = df.groupby("token")["df"].first()
+    assert (per_token_rows == per_token_df).all()
+    # tf sums back to the token totals of the explode
+    from turboxsl_ray.pipelines.corpus import q_explode_tokens
+
+    tok = q_explode_tokens(chain_dir).to_pandas()
+    assert df["tf"].sum() == len(tok)
+    assert n_docs == tok["doc_id"].nunique()

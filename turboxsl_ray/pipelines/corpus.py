@@ -1,0 +1,370 @@
+"""Corpus-level token operators + near-dup clustering.
+
+Training-data-pipeline operators over ``documents`` that work on the
+token stream rather than per-doc scalars (pipelines/text.py):
+
+- ``q_explode_tokens``: doc -> one row per token with its ordinal (the
+  ``xsl:for-each`` over a tokenized node-set — the reference's
+  str:tokenize extension shape, /root/reference/src/functions.c:160-239
+  family — as a vectorized flat-map);
+- ``q_top_terms``: distributed wordcount — per-block partial counts,
+  ONE token-keyed shuffle of the partials (never the token stream),
+  final combine + frequency floor;
+- ``q_tfidf``: block-local TF (a document never spans blocks) + the
+  ``top_terms`` DF plan + a co-partitioned join-back by token;
+- ``q_scrub``: stop-token removal + whitespace re-normalization (the
+  C4-style boilerplate scrub; same regexp_replace surface as PII
+  redaction — swap the pattern for emails/phones/ids);
+- ``q_near_dup_clusters``: connected components over the exact-Jaccard
+  near-dup pair graph (pipelines/text.q_ngram_jaccard) via iterative
+  distributed min-label propagation — the keep-one-per-cluster endgame
+  of web-scale dedup.
+
+All five are oracle-checked against DuckDB (the CC oracle is a
+recursive CTE computing min-reachable-label per node).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from turboxsl_ray.kernels.arrays import as_array
+from turboxsl_ray.pipelines.text import read_documents
+from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
+
+TOKEN_SPLIT_RE = r"\s+"
+TOP_TERMS_MIN_COUNT = 10
+STOP_TOKEN_RE = r"\b(?:the|a)\b"  # swap for email/phone/id patterns to PII-redact
+
+
+def _token_lists(t: pa.Table):
+    """(doc_ids int64, lens int64, flat tokens) for a documents block.
+
+    Tokenization contract shared with the SQL oracles (and with
+    text.q_token_stats, whose n_tokens the driver already verifies):
+    split trimmed text on whitespace runs. Empty text yields the
+    single empty token, exactly like DuckDB's string_split_regex.
+    """
+    trimmed = pc.utf8_trim_whitespace(t["text"])
+    lists = as_array(pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE))
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = as_array(pc.list_flatten(lists))
+    ids = as_array(pc.cast(t["doc_id"], pa.int64())).to_numpy()
+    return ids, lens, flat
+
+
+_EXPLODE_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("tok_idx", pa.int64()), ("token", pa.string())]
+)
+
+
+def q_explode_tokens(sf_dir: str) -> Dataset:
+    """Flat-map explode: one row per (doc_id, 1-based token ordinal,
+    token). Fully vectorized — repeat/cumsum arithmetic builds the
+    parent index and the ordinal, never a Python loop over rows."""
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EXPLODE_SCHEMA.empty_table()
+        ids, lens, flat = _token_lists(t)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        tok_idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens)),
+                "tok_idx": pa.array(tok_idx),
+                "token": flat,
+            },
+            schema=_EXPLODE_SCHEMA,
+        )
+
+    return map_partitions(ds, explode)
+
+
+_TERMS_SCHEMA = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+
+def q_top_terms(sf_dir: str, min_count: int = TOP_TERMS_MIN_COUNT) -> Dataset:
+    """Distributed wordcount with a frequency floor.
+
+    Per-block partial counts combine BEFORE the exchange, so the
+    shuffle moves O(blocks x vocab) partial rows, never the
+    O(total tokens) stream — the canonical combiner plan."""
+    exploded = q_explode_tokens(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TERMS_SCHEMA.empty_table()
+        g = t.group_by("token", use_threads=False).aggregate([([], "count_all")])
+        return pa.table(
+            {"token": as_array(g["token"]),
+             "n": as_array(pc.cast(g["count_all"], pa.int64()))},
+            schema=_TERMS_SCHEMA,
+        )
+
+    parts = partition_by_conv(map_partitions(exploded, partial), 16, keys=["token"])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TERMS_SCHEMA.empty_table()
+        g = t.group_by("token", use_threads=False).aggregate([("n", "sum")])
+        out = pa.table(
+            {"token": as_array(g["token"]),
+             "n": as_array(pc.cast(g["n_sum"], pa.int64()))},
+            schema=_TERMS_SCHEMA,
+        )
+        return out.filter(pc.greater_equal(out["n"], min_count))
+
+    return map_partitions(parts, final)
+
+
+_TFIDF_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("token", pa.string()),
+        ("tf", pa.int64()),
+        ("df", pa.int64()),
+        ("tfidf", pa.float64()),
+    ]
+)
+
+
+def q_tfidf(sf_dir: str) -> Dataset:
+    """Per-(doc, token) TF-IDF: tf * ln(N / df), rounded to 6 digits.
+
+    Physical plan:
+    1. TF is block-local (a document never spans blocks) — no shuffle;
+    2. DF = per-block distinct (doc, token) -> per-token partials ->
+       ONE token-keyed shuffle -> final sums (wordcount-shaped);
+    3. TF rows join DF by token through the co-partitioned equi-join
+       (stages/join.py) — one more exchange over (doc, token) pairs,
+       never full text;
+    4. N (corpus size) is a driver scalar from a count aggregate.
+    """
+    from turboxsl_ray.stages.join import copartition_join
+
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+    n_docs = ds.count()
+
+    def tf_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+            ).empty_table()
+        ids, lens, flat = _token_lists(t)
+        pairs = pa.table({"doc_id": pa.array(np.repeat(ids, lens)), "token": flat})
+        g = pairs.group_by(["doc_id", "token"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "doc_id": as_array(g["doc_id"]),
+                "token": as_array(g["token"]),
+                "tf": as_array(pc.cast(g["count_all"], pa.int64())),
+            }
+        )
+
+    tf = map_partitions(ds, tf_block)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("token", pa.string()), ("df", pa.int64())]).empty_table()
+        g = t.group_by("token", use_threads=False).aggregate([([], "count_all")])
+        return pa.table(
+            {"token": as_array(g["token"]),
+             "df": as_array(pc.cast(g["count_all"], pa.int64()))}
+        )
+
+    # tf rows are already one per distinct (doc, token): their per-token
+    # counts ARE document frequencies
+    df_parts = partition_by_conv(map_partitions(tf, df_partial), 16, keys=["token"])
+
+    def df_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("token", pa.string()), ("df", pa.int64())]).empty_table()
+        g = t.group_by("token", use_threads=False).aggregate([("df", "sum")])
+        return pa.table(
+            {"token": as_array(g["token"]),
+             "df": as_array(pc.cast(g["df_sum"], pa.int64()))}
+        )
+
+    df = map_partitions(df_parts, df_final)
+    joined = copartition_join(tf, df, on="token", how="inner")
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _TFIDF_SCHEMA.empty_table()
+        tfv = as_array(t["tf"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = as_array(t["df"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tfv * np.log(n_docs / dfv), 6)
+        return pa.table(
+            {
+                "doc_id": as_array(pc.cast(t["doc_id"], pa.int64())),
+                "token": as_array(t["token"]),
+                "tf": as_array(pc.cast(t["tf"], pa.int64())),
+                "df": as_array(pc.cast(t["df"], pa.int64())),
+                "tfidf": pa.array(tfidf, type=pa.float64()),
+            },
+            schema=_TFIDF_SCHEMA,
+        )
+
+    return map_partitions(joined, score)
+
+
+def q_scrub(sf_dir: str) -> Dataset:
+    """Token scrub: delete stop tokens, re-normalize whitespace, count
+    removals. One vectorized RE2 pass per block; the same shape (with
+    an email/phone/account-number alternation) is the PII-redaction
+    stage of a training-data pipeline."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_stop = pc.cast(pc.count_substring_regex(text, STOP_TOKEN_RE), pa.int64())
+        removed = pc.replace_substring_regex(text, STOP_TOKEN_RE, "")
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(removed, r"\s+", " ")
+        )
+        return pa.table(
+            {
+                "doc_id": as_array(pc.cast(t["doc_id"], pa.int64())),
+                "clean_text": as_array(clean),
+                "n_stop": as_array(n_stop),
+            }
+        )
+
+    return map_partitions(ds, scrub)
+
+
+# --------------------------------------------------------------------------
+# near-dup connected components
+# --------------------------------------------------------------------------
+
+_CLUSTER_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("is_canonical", pa.bool_())]
+)
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
+
+CC_MAX_ROUNDS = 20
+
+
+def _min_label_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "node" not in t.column_names:
+        return _LABEL_SCHEMA.empty_table()
+    g = t.group_by("node", use_threads=False).aggregate([("comp", "min")])
+    return pa.table(
+        {"node": as_array(g["node"]), "comp": as_array(g["comp_min"])},
+        schema=_LABEL_SCHEMA,
+    )
+
+
+def q_near_dup_clusters(sf_dir: str) -> Dataset:
+    """Connected components over the near-dup pair graph: every doc
+    gets the MIN doc_id reachable through exact-Jaccard pairs
+    (pipelines/text.q_ngram_jaccard, threshold-filtered) as its
+    cluster id; ``is_canonical`` marks the one doc per cluster a
+    keep-one dedup retains.
+
+    Distributed BSP min-label propagation:
+    - state is the (node, comp) label table over docs that appear in
+      a pair — near-dup-scale, NOT corpus-scale;
+    - each round: labels join edges by source (co-partitioned
+      exchange), propagate comp to the destination, union with the
+      current labels, min-combine per node (second keyed exchange);
+      labels shrink monotonically, so the int-sum of comp is an exact
+      fixpoint detector;
+    - rounds needed = near-dup component diameter (tiny for shingle
+      near-dup families); CC_MAX_ROUNDS guards pathological graphs;
+    - docs outside the pair graph never enter the loop — they join the
+      labels at the end (left join + fill-own-id).
+    """
+    import ray.data
+
+    from turboxsl_ray.pipelines.text import q_ngram_jaccard
+    from turboxsl_ray.stages.join import copartition_join
+
+    docs = read_documents(sf_dir, ["doc_id"])
+    pairs = q_ngram_jaccard(sf_dir).materialize()
+
+    def own_label(t: pa.Table) -> pa.Table:
+        ids = as_array(pc.cast(t["doc_id"], pa.int64()))
+        return pa.table(
+            {"doc_id": ids, "cluster_id": ids,
+             "is_canonical": pa.array(np.ones(len(ids), dtype=bool))},
+            schema=_CLUSTER_SCHEMA,
+        )
+
+    if pairs.count() == 0:
+        return map_partitions(docs, own_label)
+
+    def sym_edges(t: pa.Table) -> pa.Table:
+        a = as_array(pc.cast(t["doc_a"], pa.int64())).to_numpy()
+        b = as_array(pc.cast(t["doc_b"], pa.int64())).to_numpy()
+        return pa.table(
+            {"s": pa.array(np.concatenate([a, b])),
+             "d": pa.array(np.concatenate([b, a]))}
+        )
+
+    edges = map_partitions(pairs, sym_edges).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        s = as_array(t["s"])
+        return pa.table({"node": s, "comp": s}, schema=_LABEL_SCHEMA)
+
+    labels = map_partitions(
+        partition_by_conv(map_partitions(edges, init_labels), 8, keys=["node"]),
+        _min_label_block,
+    ).materialize()
+    checksum = labels.sum("comp")
+
+    for _ in range(CC_MAX_ROUNDS):
+        lab_src = map_partitions(labels, lambda t: t.rename_columns(["s", "comp"]))
+        prop = copartition_join(edges, lab_src, on="s", num_partitions=8)
+
+        def to_label(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "d" not in t.column_names:
+                return _LABEL_SCHEMA.empty_table()
+            return pa.table(
+                {"node": as_array(t["d"]), "comp": as_array(t["comp"])},
+                schema=_LABEL_SCHEMA,
+            )
+
+        merged = labels.union(map_partitions(prop, to_label))
+        labels = map_partitions(
+            partition_by_conv(merged, 8, keys=["node"]), _min_label_block
+        ).materialize()
+        new_checksum = labels.sum("comp")
+        if new_checksum == checksum:
+            break
+        checksum = new_checksum
+    else:
+        raise RuntimeError(
+            f"near-dup CC did not converge in {CC_MAX_ROUNDS} rounds "
+            "(component diameter exceeds the guard)"
+        )
+
+    clusters = map_partitions(
+        labels, lambda t: t.rename_columns(["doc_id", "cluster_id"])
+    )
+    out = copartition_join(docs, clusters, on="doc_id", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _CLUSTER_SCHEMA.empty_table()
+        ids = as_array(pc.cast(t["doc_id"], pa.int64()))
+        comp = pc.coalesce(pc.cast(t["cluster_id"], pa.int64()), ids)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "cluster_id": as_array(comp),
+                "is_canonical": as_array(pc.equal(comp, ids)),
+            },
+            schema=_CLUSTER_SCHEMA,
+        )
+
+    return map_partitions(out, finish)

@@ -719,3 +719,150 @@ def q_heavy_hitters(sf_dir: str, k: int = HH_K) -> pd.DataFrame:
     return pd.DataFrame(
         {"user_id": uniq[order], "est_count": est[order].astype(np.int64)}
     )
+
+
+GROUP_TOPK_K = 3
+
+_GROUP_TOPK_SCHEMA = pa.schema(
+    [
+        ("l_orderkey", pa.int64()),
+        ("l_linenumber", pa.int64()),
+        ("l_extendedprice", pa.float64()),
+        ("rn", pa.int64()),
+    ]
+)
+
+
+def q_group_topk(sf_dir: str, k: int = GROUP_TOPK_K) -> Dataset:
+    """Per-GROUP top-k (vs the global topk of stages/aggregate.py):
+    the k most expensive lineitems of EVERY order. One orderkey-keyed
+    exchange, then block-local sort + segmented rank — the windowed
+    ``ROW_NUMBER() OVER (PARTITION BY ...) <= k`` as a two-step plan
+    (xsl:sort inside xsl:for-each over a keyed group, the reference's
+    per-group sort shape, /root/reference/src/xpath.c:484-576)."""
+    from turboxsl_ray.kernels.windows import cumcount, segment_starts
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    parts = partition_by_conv(ds, 16, keys=["l_orderkey"])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _GROUP_TOPK_SCHEMA.empty_table()
+        t = t.sort_by(
+            [
+                ("l_orderkey", "ascending"),
+                ("l_extendedprice", "descending"),
+                ("l_linenumber", "ascending"),
+            ]
+        )
+        ok = as_array(t["l_orderkey"]).to_numpy()
+        rn = cumcount(segment_starts(ok)) + 1
+        out = pa.table(
+            {
+                "l_orderkey": as_array(pc.cast(t["l_orderkey"], pa.int64())),
+                "l_linenumber": as_array(pc.cast(t["l_linenumber"], pa.int64())),
+                "l_extendedprice": as_array(pc.cast(t["l_extendedprice"], pa.float64())),
+                "rn": pa.array(rn + 0, type=pa.int64()),
+            },
+            schema=_GROUP_TOPK_SCHEMA,
+        )
+        return out.filter(pc.less_equal(out["rn"], k))
+
+    return map_partitions(parts, block_topk)
+
+
+PIVOT_TYPES = ("click", "view", "purchase")
+
+_PIVOT_SCHEMA = pa.schema(
+    [("user_id", pa.int64())]
+    + [(f"n_{k}", pa.int64()) for k in PIVOT_TYPES]
+    + [(f"sum_{k}", pa.float64()) for k in PIVOT_TYPES]
+)
+
+
+def q_pivot_event_types(sf_dir: str) -> Dataset:
+    """Pivot (long -> wide conditional aggregate): per user, count and
+    cents-exact value sum for each event type as COLUMNS. One
+    user-keyed exchange, then a single block-local grouped pass over
+    conditional columns (the xsl:choose-inside-xsl:for-each rollup
+    shape). Unpivoted types fall into no column by design."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    parts = partition_by_conv(ds, 16, keys=["user_id"])
+
+    def pivot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PIVOT_SCHEMA.empty_table()
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False)
+        cents = to_cents(v)
+        et = as_array(t["event_type"])
+        cols = {"user_id": pc.cast(t["user_id"], pa.int64())}
+        aggs = []
+        work = {}
+        for kind in PIVOT_TYPES:
+            mask = pc.equal(et, kind).to_numpy(zero_copy_only=False)
+            work[f"__n_{kind}"] = pa.array(mask.astype(np.int64))
+            work[f"__s_{kind}"] = pa.array(np.where(mask, cents, 0))
+            aggs += [(f"__n_{kind}", "sum"), (f"__s_{kind}", "sum")]
+        g = pa.table({**cols, **work}).group_by("user_id", use_threads=False).aggregate(aggs)
+        out = {"user_id": as_array(g["user_id"])}
+        for kind in PIVOT_TYPES:
+            out[f"n_{kind}"] = as_array(pc.cast(g[f"__n_{kind}_sum"], pa.int64()))
+        for kind in PIVOT_TYPES:
+            out[f"sum_{kind}"] = as_array(
+                pc.divide(pc.cast(g[f"__s_{kind}_sum"], pa.float64()), 100.0)
+            )
+        return pa.table(out, schema=_PIVOT_SCHEMA)
+
+    return map_partitions(parts, pivot)
+
+
+_GRP_QUANT_SCHEMA = pa.schema(
+    [
+        ("event_type", pa.string()),
+        ("n", pa.int64()),
+        ("median_value", pa.float64()),
+        ("p90_value", pa.float64()),
+    ]
+)
+
+
+def q_grp_median(sf_dir: str) -> Dataset:
+    """EXACT per-group quantiles (median + p90) of event value: keyed
+    exchange by group, block-local sort + linear-interpolated
+    percentiles (numpy 'linear' == SQL quantile_cont). The exact
+    counterpart of the histogram-sketch q_approx_quantiles — use the
+    sketch when a group's values can't fit one partition."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    parts = partition_by_conv(ds, 8, keys=["event_type"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _GRP_QUANT_SCHEMA.empty_table()
+        et = as_array(t["event_type"]).to_numpy(zero_copy_only=False)
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(et, kind="stable")
+        et, v = et[order], v[order]
+        starts = np.concatenate(([True], et[1:] != et[:-1]))
+        bounds = np.flatnonzero(starts)
+        names, meds, p90s, ns = [], [], [], []
+        for i, b in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(et)
+            seg = v[b:e]
+            q50, q90 = np.percentile(seg, [50.0, 90.0], method="linear")
+            names.append(et[b])
+            ns.append(e - b)
+            meds.append(round(float(q50), 6))
+            p90s.append(round(float(q90), 6))
+        return pa.table(
+            {
+                "event_type": pa.array(names, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "median_value": pa.array(meds, type=pa.float64()),
+                "p90_value": pa.array(p90s, type=pa.float64()),
+            },
+            schema=_GRP_QUANT_SCHEMA,
+        )
+
+    return map_partitions(parts, quant)

@@ -12,10 +12,15 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-from turboxsl_ray.pipelines import multimodal, relational, text, transcript_features, vectors
+from turboxsl_ray.pipelines import corpus, multimodal, relational, text, transcript_features, vectors
 from turboxsl_ray.pipelines.transcript_features import DERIVE_SQL, SESSION_GAP_US
 
 _T = f"WITH t AS ({DERIVE_SQL})"
+
+# shared tokenization CTE for the corpus-level oracles — the SAME
+# whitespace-run split contract as corpus._token_lists / text.q_token_stats
+_WORDS_CTE = r"""words AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)"""
 
 _SESSION_CTE = f"""
 {_T},
@@ -372,9 +377,100 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   printf('%.1f', length(text) / (length(text) + 200.0) * 100) || '%' AS fmt_pct
            FROM documents""",
     ),
+    "group_topk": (
+        relational.q_group_topk,
+        f"""SELECT l_orderkey, l_linenumber,
+                   CAST(l_extendedprice AS DOUBLE) AS l_extendedprice, rn
+            FROM (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                         l_extendedprice,
+                         CAST(ROW_NUMBER() OVER (
+                              PARTITION BY l_orderkey
+                              ORDER BY l_extendedprice DESC, l_linenumber)
+                              AS BIGINT) AS rn
+                  FROM lineitem)
+            WHERE rn <= {relational.GROUP_TOPK_K}""",
+    ),
+    "pivot_event_types": (
+        relational.q_pivot_event_types,
+        """SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                  SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS sum_click,
+                  SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS sum_view,
+                  SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS sum_purchase
+           FROM events GROUP BY user_id""",
+    ),
+    "grp_median": (
+        relational.q_grp_median,
+        """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS median_value,
+                  CAST(ROUND(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90_value
+           FROM events GROUP BY event_type""",
+    ),
     "approx_distinct_parts": (relational.q_approx_distinct_parts, None),  # sketch, error pinned by tests
     "approx_quantiles": (relational.q_approx_quantiles, None),  # histogram sketch, error bound pinned by tests
     "heavy_hitters": (relational.q_heavy_hitters, None),  # count-min + candidates, containment pinned by tests
+    "explode_tokens": (
+        corpus.q_explode_tokens,
+        f"""WITH {_WORDS_CTE}
+        SELECT doc_id, CAST(i AS BIGINT) AS tok_idx, ws[i] AS token
+        FROM words, UNNEST(range(1, len(ws) + 1)) AS u(i)""",
+    ),
+    "top_terms": (
+        corpus.q_top_terms,
+        f"""WITH {_WORDS_CTE},
+            tok AS (SELECT ws[i] AS token
+                    FROM words, UNNEST(range(1, len(ws) + 1)) AS u(i))
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+        HAVING COUNT(*) >= {corpus.TOP_TERMS_MIN_COUNT}""",
+    ),
+    "tfidf": (
+        corpus.q_tfidf,
+        f"""WITH {_WORDS_CTE},
+            tok AS (SELECT doc_id, ws[i] AS token
+                    FROM words, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM tok GROUP BY token)
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               CAST(ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df.df), 6)
+                    AS DOUBLE) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token""",
+    ),
+    "scrub": (
+        corpus.q_scrub,
+        f"""SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(text, '{corpus.STOP_TOKEN_RE}', '', 'g'),
+                        '\\s+', ' ', 'g')) AS clean_text,
+                   CAST(len(regexp_extract_all(text, '{corpus.STOP_TOKEN_RE}')) AS BIGINT) AS n_stop
+            FROM documents""",
+    ),
+    "near_dup_clusters": (
+        corpus.q_near_dup_clusters,
+        f"""WITH RECURSIVE {_WORDS_CTE},
+            tok3 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                     FROM words, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok3 GROUP BY doc_id),
+            shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                       FROM tok3 a JOIN tok3 b ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY a.doc_id, b.doc_id),
+            pairs AS (SELECT da, db
+                      FROM shared JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                      WHERE c * 1.0 / (sa.n + sb.n - c) >= {text.JACCARD_THRESHOLD}),
+            edges AS (SELECT da AS s, db AS d FROM pairs
+                      UNION ALL SELECT db, da FROM pairs),
+            walk(node, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+            )
+        SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id,
+               (MIN(comp) = node) AS is_canonical
+        FROM walk GROUP BY node""",
+    ),
     "ngram_jaccard_capped": (text.q_ngram_jaccard_capped, None),  # df-pruned recall, subset pinned by tests
     "winnow_dedup": (text.q_winnow_dedup, None),  # rolling-hash fingerprints; guarantees pinned by tests
     "minhash_lsh": (text.q_minhash_lsh, None),  # LSH not SQL-expressible
