@@ -136,3 +136,33 @@ def test_tfidf_invariants(ray_session, chain_dir):
     tok = q_explode_tokens(chain_dir).to_pandas()
     assert df["tf"].sum() == len(tok)
     assert n_docs == tok["doc_id"].nunique()
+
+
+def test_cc_engine_deep_chain_and_single_shard(ray_session):
+    """Direct BSP engine check: a 40-node path graph needs ~20+ rounds
+    of min-label propagation (diameter-bound), plus isolated self-pairs
+    and the n_shards=1 code path."""
+    import ray.data
+
+    from turboxsl_ray.stages.cc import connected_components
+
+    n = 40
+    a = list(range(n - 1)) + [500]
+    b = list(range(1, n)) + [501]
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(a, pa.int64()),
+                  "doc_b": pa.array(b, pa.int64())})
+    ).repartition(4)
+
+    for shards in (1, 8):
+        lab = (
+            connected_components(pairs, n_shards=shards, max_rounds=64)
+            .to_pandas()
+            .set_index("node")["comp"]
+        )
+        assert len(lab) == n + 2
+        assert (lab.loc[list(range(n))] == 0).all()
+        assert lab.loc[500] == 500 and lab.loc[501] == 500
+
+    with pytest.raises(Exception, match="did not converge"):
+        connected_components(pairs, n_shards=2, max_rounds=3)

@@ -248,21 +248,6 @@ def q_scrub(sf_dir: str) -> Dataset:
 _CLUSTER_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("is_canonical", pa.bool_())]
 )
-_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
-
-CC_MAX_ROUNDS = 20
-
-
-def _min_label_block(t: pa.Table) -> pa.Table:
-    if t.num_rows == 0 or "node" not in t.column_names:
-        return _LABEL_SCHEMA.empty_table()
-    g = t.group_by("node", use_threads=False).aggregate([("comp", "min")])
-    return pa.table(
-        {"node": as_array(g["node"]), "comp": as_array(g["comp_min"])},
-        schema=_LABEL_SCHEMA,
-    )
-
-
 def q_near_dup_clusters(sf_dir: str) -> Dataset:
     """Connected components over the near-dup pair graph: every doc
     gets the MIN doc_id reachable through exact-Jaccard pairs
@@ -270,22 +255,14 @@ def q_near_dup_clusters(sf_dir: str) -> Dataset:
     cluster id; ``is_canonical`` marks the one doc per cluster a
     keep-one dedup retains.
 
-    Distributed BSP min-label propagation:
-    - state is the (node, comp) label table over docs that appear in
-      a pair — near-dup-scale, NOT corpus-scale;
-    - each round: labels join edges by source (co-partitioned
-      exchange), propagate comp to the destination, union with the
-      current labels, min-combine per node (second keyed exchange);
-      labels shrink monotonically, so the int-sum of comp is an exact
-      fixpoint detector;
-    - rounds needed = near-dup component diameter (tiny for shingle
-      near-dup families); CC_MAX_ROUNDS guards pathological graphs;
-    - docs outside the pair graph never enter the loop — they join the
-      labels at the end (left join + fill-own-id).
-    """
-    import ray.data
-
+    The iteration runs on the BSP actor engine (stages/cc.py): edges
+    shard ONCE into stateful actors, rounds exchange only label
+    updates — a Dataset-loop formulation would re-shuffle the whole
+    edge list every round. The label table is near-dup-scale, NOT
+    corpus-scale; docs outside the pair graph never enter the loop —
+    they join the labels at the end (left join + fill-own-id)."""
     from turboxsl_ray.pipelines.text import q_ngram_jaccard
+    from turboxsl_ray.stages.cc import connected_components
     from turboxsl_ray.stages.join import copartition_join
 
     docs = read_documents(sf_dir, ["doc_id"])
@@ -302,52 +279,7 @@ def q_near_dup_clusters(sf_dir: str) -> Dataset:
     if pairs.count() == 0:
         return map_partitions(docs, own_label)
 
-    def sym_edges(t: pa.Table) -> pa.Table:
-        a = as_array(pc.cast(t["doc_a"], pa.int64())).to_numpy()
-        b = as_array(pc.cast(t["doc_b"], pa.int64())).to_numpy()
-        return pa.table(
-            {"s": pa.array(np.concatenate([a, b])),
-             "d": pa.array(np.concatenate([b, a]))}
-        )
-
-    edges = map_partitions(pairs, sym_edges).materialize()
-
-    def init_labels(t: pa.Table) -> pa.Table:
-        s = as_array(t["s"])
-        return pa.table({"node": s, "comp": s}, schema=_LABEL_SCHEMA)
-
-    labels = map_partitions(
-        partition_by_conv(map_partitions(edges, init_labels), 8, keys=["node"]),
-        _min_label_block,
-    ).materialize()
-    checksum = labels.sum("comp")
-
-    for _ in range(CC_MAX_ROUNDS):
-        lab_src = map_partitions(labels, lambda t: t.rename_columns(["s", "comp"]))
-        prop = copartition_join(edges, lab_src, on="s", num_partitions=8)
-
-        def to_label(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "d" not in t.column_names:
-                return _LABEL_SCHEMA.empty_table()
-            return pa.table(
-                {"node": as_array(t["d"]), "comp": as_array(t["comp"])},
-                schema=_LABEL_SCHEMA,
-            )
-
-        merged = labels.union(map_partitions(prop, to_label))
-        labels = map_partitions(
-            partition_by_conv(merged, 8, keys=["node"]), _min_label_block
-        ).materialize()
-        new_checksum = labels.sum("comp")
-        if new_checksum == checksum:
-            break
-        checksum = new_checksum
-    else:
-        raise RuntimeError(
-            f"near-dup CC did not converge in {CC_MAX_ROUNDS} rounds "
-            "(component diameter exceeds the guard)"
-        )
-
+    labels = connected_components(pairs, a_col="doc_a", b_col="doc_b")
     clusters = map_partitions(
         labels, lambda t: t.rename_columns(["doc_id", "cluster_id"])
     )

@@ -866,3 +866,39 @@ def q_grp_median(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(parts, quant)
+
+
+def q_rollup_pricing(sf_dir: str) -> pd.DataFrame:
+    """Multi-level rollup (GROUP BY ROLLUP analog): lineitem counts and
+    cents-exact quantity sums at (flag, status), (flag), and grand
+    total. The coarser levels are DERIVED from the finest partials on
+    the driver — one scan, one partial-aggregate pass, zero extra
+    shuffles (the cube trick: higher levels are sums of lower ones)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = as_array(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": as_array(t["l_returnflag"]),
+                "l_linestatus": as_array(t["l_linestatus"]),
+                "q_c": pa.array(to_cents(q)),
+            }
+        )
+
+    fine = groupby_small(
+        map_partitions(ds, prep),
+        keys=["l_returnflag", "l_linestatus"],
+        specs={"n": (None, "count"), "q_c": ("q_c", "sum")},
+        int_cols=("n", "q_c"),
+    )
+    mid = fine.groupby("l_returnflag", as_index=False)[["n", "q_c"]].sum()
+    mid["l_linestatus"] = None
+    top = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None],
+         "n": [fine["n"].sum()], "q_c": [fine["q_c"].sum()]}
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["sum_qty"] = out["q_c"] / 100.0
+    out["n"] = out["n"].astype(np.int64)
+    return out[["l_returnflag", "l_linestatus", "n", "sum_qty"]]

@@ -402,6 +402,12 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS sum_purchase
            FROM events GROUP BY user_id""",
     ),
+    "rollup_pricing": (
+        relational.q_rollup_pricing,
+        """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    ),
     "grp_median": (
         relational.q_grp_median,
         """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
