@@ -144,3 +144,37 @@ def test_empty_input():
     starts = W.segment_starts(np.array([], dtype=object))
     assert len(W.lag_indices(starts, 1)) == 0
     assert len(W.ffill_indices(starts, np.array([], dtype=bool))) == 0
+
+
+def test_rank_ntile_kernels_match_duckdb_windows():
+    """Fuzz RANK/PERCENT_RANK/CUME_DIST/NTILE vs DuckDB's window
+    functions on random segmentations with heavy ties."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from turboxsl_ray.kernels.windows import (
+        ntile_in_segments,
+        rank_in_segments,
+        segment_starts,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(25):
+        segs = rng.integers(1, 9, size=rng.integers(1, 7))
+        conv = np.repeat(np.arange(len(segs)), segs)
+        vals = rng.integers(0, 4, size=conv.size).astype(np.float64)
+        starts = segment_starts(conv)
+        r, p, c = rank_in_segments(starts, vals)
+        nt = ntile_in_segments(starts, 4)
+        df = pd.DataFrame({"g": conv, "v": vals, "i": np.arange(conv.size)})
+        o = duckdb.sql(
+            """SELECT RANK() OVER w r, PERCENT_RANK() OVER w p,
+                      CUME_DIST() OVER w c,
+                      NTILE(4) OVER (PARTITION BY g ORDER BY i) nt
+               FROM df WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY i"""
+        ).df()
+        assert (o["r"].to_numpy() == r).all(), trial
+        assert np.allclose(o["p"].to_numpy(), p), trial
+        assert np.allclose(o["c"].to_numpy(), c), trial
+        assert (o["nt"].to_numpy() == nt).all(), trial

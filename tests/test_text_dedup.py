@@ -232,3 +232,28 @@ def test_ann_ivf_partial_probe_recall(ray_session):
     got = {tuple(p) for p in approx[["qid", "vec_id"]].to_numpy()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_minhash_lsh_broadcast_equals_distributed(ray_session, dup_dir, monkeypatch):
+    """The AQE-style plan switch must be invisible: forcing the
+    at-scale path (co-partitioned sig joins) yields exactly the
+    broadcast path's pairs and estimates."""
+    import turboxsl_ray.pipelines.text as text
+
+    bcast = (
+        text.q_minhash_lsh(dup_dir)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(text, "SIG_BROADCAST_BYTES", -1)
+    dist = (
+        text.q_minhash_lsh(dup_dir)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(bcast) > 0
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(bcast, dist)

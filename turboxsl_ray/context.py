@@ -71,3 +71,94 @@ def tune_context(
         ctx.execution_options.preserve_order = preserve_order
     if quiet:
         ctx.enable_progress_bars = False
+
+
+# One shuffle partition should hold roughly a block's worth of data:
+# far fewer partitions than blocks starves reducers; far more pays
+# aggregator startup + per-partition overhead for nothing. 32 MB keeps
+# partitions comfortably under the 128 MB block ceiling even with
+# modest skew.
+PARTITION_TARGET_BYTES = 32 << 20
+
+
+def adaptive_partitions(
+    nbytes: int | None,
+    *,
+    lo: int = 2,
+    hi: int = 4096,
+    target_bytes: int = PARTITION_TARGET_BYTES,
+) -> int:
+    """Shuffle-partition count sized to the bytes actually exchanged.
+
+    Fixed partition counts are wrong at both ends: a 16-way exchange of
+    a few-MB pair table spins 16 aggregators to shuffle almost nothing
+    (multi-second fixed cost in local mode), while 16 partitions of a
+    100 TB exchange would put terabytes in one partition. Callers pass
+    the best estimate available at plan time — ``ds.size_bytes()`` for
+    materialized intermediates, on-disk parquet bytes (times an
+    expansion factor) for read-backed stages — and get a count that
+    grows linearly with the data. Unknown sizes fall back to 16 (the
+    engine's historical default)."""
+    if nbytes is None or nbytes <= 0:
+        return 16
+    import math
+
+    return max(lo, min(hi, math.ceil(nbytes / target_bytes)))
+
+
+def on_disk_nbytes(path: str) -> int | None:
+    """Bytes of a parquet file/directory on disk (plan-time size
+    estimate for read-backed exchanges; compressed, so callers apply an
+    expansion factor for decoded width)."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def cluster_cpus(default: int = 16) -> int:
+    """CPUs Ray currently sees (``default`` before init)."""
+    import ray
+
+    if ray.is_initialized():
+        try:
+            return int(ray.cluster_resources().get("CPU", default))
+        except Exception:
+            return default
+    return default
+
+
+def partitions_for_input(
+    *paths: str, factor: float = 2.0, lo: int = 2, parallel: bool = False
+) -> int:
+    """Shuffle partition count for exchanges whose volume tracks the
+    on-disk size of their input tables (``factor`` ≈ decoded-to-
+    compressed expansion). The usual call is at plan time, right where
+    a fixed count used to be.
+
+    ``parallel=True`` floors the count at the cluster CPU count: for an
+    exchange feeding a COMPUTE-heavy block fn (pair emission, per-doc
+    Python work) the partition count is also the stage's parallelism,
+    and a byte-sized count would serialize it. Leave it False for
+    exchanges that end in a cheap combine — fewer aggregators start
+    faster and the reducers have nothing to parallelize."""
+    if parallel:
+        # CPUs/2 measures best on small inputs (enough reducer
+        # parallelism without paying a per-aggregator startup tax); at
+        # real scale the byte-derived count dominates the floor anyway
+        lo = max(lo, cluster_cpus() // 2)
+    total = 0
+    for p in paths:
+        n = on_disk_nbytes(p)
+        if n is None:
+            return 16
+        total += n
+    return adaptive_partitions(int(total * factor), lo=lo)

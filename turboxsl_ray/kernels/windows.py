@@ -247,3 +247,64 @@ def rolling_mean(starts: np.ndarray, values: np.ndarray, k: int) -> np.ndarray:
     c = rolling_count(starts, ok, k)
     with np.errstate(invalid="ignore"):
         return np.where(c > 0, s / np.maximum(c, 1), np.nan)
+
+
+def seg_lengths_per_row(starts: np.ndarray) -> np.ndarray:
+    """Length of each row's segment, broadcast to every row."""
+    return segment_last_index(starts) - segment_first_index(starts) + 1
+
+
+def rank_in_segments(starts: np.ndarray, values: np.ndarray):
+    """SQL RANK / PERCENT_RANK / CUME_DIST over ``values`` ascending
+    within each segment, fully vectorized (one lexsort + scatter).
+
+    Ties share the min rank (SQL RANK, gaps after ties);
+    percent_rank = (rank-1)/(n-1) (0 for singleton segments);
+    cume_dist = rows-with-value<=v / n. The analog of ``position()``
+    over an ``xsl:sort``-ed selection (xpath.c:484-576 + 114-134),
+    with SQL tie semantics the reference's stable sort cannot express.
+    """
+    n = len(starts)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, np.empty(0), np.empty(0)
+    seg = np.cumsum(starts) - 1
+    order = np.lexsort((values, seg))
+    vs, ss = values[order], seg[order]
+    idx = np.arange(n, dtype=np.int64)
+    first_of_seg = np.empty(n, dtype=bool)
+    first_of_seg[0] = True
+    first_of_seg[1:] = ss[1:] != ss[:-1]
+    seg_start_pos = np.maximum.accumulate(np.where(first_of_seg, idx, 0))
+    new_run = first_of_seg.copy()
+    new_run[1:] |= vs[1:] != vs[:-1]
+    run_start_pos = np.maximum.accumulate(np.where(new_run, idx, 0))
+    run_starts = np.flatnonzero(new_run)
+    run_end_pos = np.append(run_starts[1:], n)  # one past each run
+    run_id = np.cumsum(new_run) - 1
+    seg_len = seg_lengths_per_row(starts)[order].astype(np.float64)
+    rank_sorted = run_start_pos - seg_start_pos + 1
+    denom = np.maximum(seg_len - 1, 1)
+    pct_sorted = (rank_sorted - 1) / denom
+    cume_sorted = (run_end_pos[run_id] - seg_start_pos) / seg_len
+    rank = np.empty(n, dtype=np.int64)
+    pct = np.empty(n)
+    cume = np.empty(n)
+    rank[order] = rank_sorted
+    pct[order] = pct_sorted
+    cume[order] = cume_sorted
+    return rank, pct, cume
+
+
+def ntile_in_segments(starts: np.ndarray, k: int) -> np.ndarray:
+    """SQL NTILE(k) over the rows' existing in-segment order: the first
+    ``n % k`` tiles get ``n//k + 1`` rows, the rest ``n//k``."""
+    if k < 1:
+        raise ValueError("ntile k must be >= 1")
+    i = cumcount(starts)
+    n = seg_lengths_per_row(starts)
+    q, r = n // k, n % k
+    cut = r * (q + 1)
+    big = np.maximum(q + 1, 1)
+    small = np.maximum(q, 1)
+    return np.where(i < cut, i // big + 1, r + (i - cut) // small + 1).astype(np.int64)

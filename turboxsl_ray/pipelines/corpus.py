@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from turboxsl_ray.context import partitions_for_input
 from turboxsl_ray.kernels.arrays import as_array
 from turboxsl_ray.pipelines.text import read_documents
 from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
@@ -107,7 +108,11 @@ def q_top_terms(sf_dir: str, min_count: int = TOP_TERMS_MIN_COUNT) -> Dataset:
             schema=_TERMS_SCHEMA,
         )
 
-    parts = partition_by_conv(map_partitions(exploded, partial), 16, keys=["token"])
+    parts = partition_by_conv(
+        map_partitions(exploded, partial),
+        partitions_for_input(f"{sf_dir}/documents.parquet", factor=4.0),
+        keys=["token"],
+    )
 
     def final(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -182,7 +187,11 @@ def q_tfidf(sf_dir: str) -> Dataset:
 
     # tf rows are already one per distinct (doc, token): their per-token
     # counts ARE document frequencies
-    df_parts = partition_by_conv(map_partitions(tf, df_partial), 16, keys=["token"])
+    df_parts = partition_by_conv(
+        map_partitions(tf, df_partial),
+        partitions_for_input(f"{sf_dir}/documents.parquet", factor=4.0),
+        keys=["token"],
+    )
 
     def df_final(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -194,7 +203,15 @@ def q_tfidf(sf_dir: str) -> Dataset:
         )
 
     df = map_partitions(df_parts, df_final)
-    joined = copartition_join(tf, df, on="token", how="inner")
+    joined = copartition_join(
+        tf,
+        df,
+        on="token",
+        how="inner",
+        num_partitions=partitions_for_input(
+            f"{sf_dir}/documents.parquet", factor=4.0
+        ),
+    )
 
     def score(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "doc_id" not in t.column_names:
@@ -283,7 +300,15 @@ def q_near_dup_clusters(sf_dir: str) -> Dataset:
     clusters = map_partitions(
         labels, lambda t: t.rename_columns(["doc_id", "cluster_id"])
     )
-    out = copartition_join(docs, clusters, on="doc_id", how="left")
+    out = copartition_join(
+        docs,
+        clusters,
+        on="doc_id",
+        how="left",
+        num_partitions=partitions_for_input(
+            f"{sf_dir}/documents.parquet", factor=0.25
+        ),
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "doc_id" not in t.column_names:

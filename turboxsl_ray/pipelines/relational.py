@@ -28,6 +28,7 @@ import ray
 import ray.data
 from ray.data import Dataset
 
+from turboxsl_ray.context import partitions_for_input
 from turboxsl_ray.kernels.arrays import as_array, to_cents
 from turboxsl_ray.stages.aggregate import (
     broadcast,
@@ -483,7 +484,13 @@ def q_order_lineitem_join(sf_dir: str) -> Dataset:
         )
 
     joined = copartition_join(
-        orders, map_partitions(li, li_prep), on="o_orderkey", how="inner"
+        orders,
+        map_partitions(li, li_prep),
+        on="o_orderkey",
+        how="inner",
+        num_partitions=partitions_for_input(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+        ),
     )
 
     def rollup(t: pa.Table) -> pa.Table:
@@ -520,7 +527,11 @@ def q_distinct_parts_by_flag(sf_dir: str) -> pd.DataFrame:
         return t.group_by(["l_returnflag", "l_partkey"]).aggregate([])
 
     pairs = map_partitions(ds, local_distinct)
-    parts = partition_by_conv(pairs, 16, keys=["l_partkey"])
+    parts = partition_by_conv(
+        pairs,
+        partitions_for_input(f"{sf_dir}/lineitem.parquet", factor=0.5),
+        keys=["l_partkey"],
+    )
 
     def count_partial(t: pa.Table) -> pa.Table:
         d = t.group_by(["l_returnflag", "l_partkey"]).aggregate([])
@@ -565,7 +576,9 @@ def q_hourly_user_stats(sf_dir: str) -> Dataset:
     from turboxsl_ray.kernels.arrays import to_cents
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
-    parts = partition_by_conv(ds, 16, keys=["user_id"])
+    parts = partition_by_conv(
+        ds, partitions_for_input(f"{sf_dir}/events.parquet"), keys=["user_id"]
+    )
 
     def rollup(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -745,7 +758,9 @@ def q_group_topk(sf_dir: str, k: int = GROUP_TOPK_K) -> Dataset:
     ds = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
     )
-    parts = partition_by_conv(ds, 16, keys=["l_orderkey"])
+    parts = partition_by_conv(
+        ds, partitions_for_input(f"{sf_dir}/lineitem.parquet"), keys=["l_orderkey"]
+    )
 
     def block_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -789,7 +804,9 @@ def q_pivot_event_types(sf_dir: str) -> Dataset:
     conditional columns (the xsl:choose-inside-xsl:for-each rollup
     shape). Unpivoted types fall into no column by design."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
-    parts = partition_by_conv(ds, 16, keys=["user_id"])
+    parts = partition_by_conv(
+        ds, partitions_for_input(f"{sf_dir}/events.parquet"), keys=["user_id"]
+    )
 
     def pivot(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -835,7 +852,11 @@ def q_grp_median(sf_dir: str) -> Dataset:
     counterpart of the histogram-sketch q_approx_quantiles — use the
     sketch when a group's values can't fit one partition."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-    parts = partition_by_conv(ds, 8, keys=["event_type"])
+    parts = partition_by_conv(
+        ds,
+        partitions_for_input(f"{sf_dir}/events.parquet", factor=1.0),
+        keys=["event_type"],
+    )
 
     def quant(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -34,6 +34,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data import Dataset
 
+from turboxsl_ray.context import partitions_for_input
 from turboxsl_ray.kernels.arrays import as_array
 from turboxsl_ray.kernels.hashing import stable_hash64
 from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
@@ -42,6 +43,10 @@ JACCARD_THRESHOLD = 0.2
 NGRAM = 3
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _docs_path(sf_dir: str) -> str:
+    return f"{sf_dir}/documents.parquet"
 
 
 def read_documents(
@@ -159,7 +164,9 @@ def q_dedup_exact(sf_dir: str) -> Dataset:
         return t.append_column("__h", pa.array(stable_hash64(t["text"]).astype(np.int64)))
 
     keyed = map_partitions(ds, add_digest)
-    parts = partition_by_conv(keyed, 16, keys=["__h"])
+    parts = partition_by_conv(
+        keyed, partitions_for_input(_docs_path(sf_dir)), keys=["__h"]
+    )
 
     def dedup(t: pa.Table) -> pa.Table:
         g = t.select(["doc_id", "text"]).group_by("text", use_threads=False).aggregate(
@@ -284,7 +291,13 @@ def q_ngram_jaccard(
     ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
     inv = map_partitions(ds, _shingle_rows_block)
-    by_gram = partition_by_conv(inv, 16, keys=["g"])
+    # shingle rows are ~24 B per input word: decoded volume is a few x
+    # the compressed text bytes
+    by_gram = partition_by_conv(
+        inv,
+        partitions_for_input(_docs_path(sf_dir), factor=4.0, parallel=True),
+        keys=["g"],
+    )
 
     def pair_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -314,7 +327,9 @@ def q_ngram_jaccard(
         )
 
     partials = map_partitions(by_gram, pair_counts)
-    by_pair = partition_by_conv(partials, 16, keys=["da", "db"])
+    by_pair = partition_by_conv(
+        partials, partitions_for_input(_docs_path(sf_dir)), keys=["da", "db"]
+    )
 
     def finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -417,7 +432,11 @@ def q_winnow_dedup(
     ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
     inv = map_partitions(ds, _winnow_block)
-    by_fp = partition_by_conv(inv, 16, keys=["g"])
+    by_fp = partition_by_conv(
+        inv,
+        partitions_for_input(_docs_path(sf_dir), parallel=True),
+        keys=["g"],
+    )
 
     def pair_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -442,8 +461,11 @@ def q_winnow_dedup(
             schema=_PAIR_PARTIAL_SCHEMA,
         )
 
-    by_pair = partition_by_conv(map_partitions(by_fp, pair_counts), 16,
-                                keys=["da", "db"])
+    by_pair = partition_by_conv(
+        map_partitions(by_fp, pair_counts),
+        partitions_for_input(_docs_path(sf_dir)),
+        keys=["da", "db"],
+    )
 
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -525,6 +547,12 @@ _EST_SCHEMA = pa.schema(
 )
 
 
+# Below this size the sig table rides the object store as ONE broadcast
+# payload (Spark-AQE-style plan switch); above it, the join-back is two
+# co-partitioned equi-joins. 256 MB ≈ 500k docs of 512 B signatures.
+SIG_BROADCAST_BYTES = 256 << 20
+
+
 def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
     """MinHash(K=64) + LSH(16 bands × 4 rows) candidate pairs with
     estimated Jaccard >= est_threshold.
@@ -534,11 +562,15 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
        materialized once (512 B/doc — band rows never carry it);
     2. band-bucket rows (bucket, doc_id) → shuffle by bucket →
        vectorized per-bucket candidate pairs;
-    3. signatures joined back by doc id (two co-partitioned
-       equi-joins); global pair dedup rides the first join's doc_a
-       exchange (duplicates of a pair share doc_a) so it costs no
-       shuffle of its own → estimated jaccard = fraction of equal
-       signature lanes.
+    3. signatures joined back by doc id. The plan is chosen from the
+       MEASURED sig-table size (AQE-style): under SIG_BROADCAST_BYTES
+       the signatures broadcast once (``ray.put``) and candidates pay a
+       single doc_a exchange (dedup + lookup + estimate fused into its
+       block fn); at scale the broadcast is impossible and the path is
+       two co-partitioned equi-joins with dedup riding the first join's
+       doc_a exchange. Both paths dedup pairs on doc_a co-location, so
+       results are identical; partition counts grow with the measured
+       sizes (context.adaptive_partitions).
     Rows-only driver check (not SQL-expressible); recall vs exact
     jaccard is pinned by tests on planted near-dups."""
     ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
@@ -585,8 +617,15 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
             }
         )
 
+    from turboxsl_ray.context import adaptive_partitions
+
+    sig_bytes = sigs.size_bytes() or 0
+    # band rows are (int64, int64) pairs, LSH_BANDS per doc — tiny next
+    # to the 512 B/doc signature payload they replace
     banded = map_partitions(sigs, band_rows)
-    by_bucket = partition_by_conv(banded, 16, keys=["bucket"])
+    by_bucket = partition_by_conv(
+        banded, adaptive_partitions(sig_bytes // 2), keys=["bucket"]
+    )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -610,28 +649,70 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
             schema=_CAND_SCHEMA,
         )
 
-    # materialize the (tiny, near-dup-sized) candidate set: running
-    # three shuffle operators concurrently in one streaming DAG makes
-    # their aggregator pools contend on a single node — sequencing the
-    # candidate stage is measurably faster and the barrier only ever
-    # holds candidate pairs, never input-scale data
-    cand = map_partitions(by_bucket, bucket_pairs).materialize()
-
-    from turboxsl_ray.stages.join import copartition_join
-
     def distinct_pairs(t: pa.Table) -> pa.Table:
-        # fused into join 1's exchange: duplicates of a pair share
-        # doc_a, so the doc_a co-partitioning makes this block-local
-        # distinct globally exact — no pair-dedup shuffle of its own
+        # fused into the doc_a exchange (either path): duplicates of a
+        # pair share doc_a, so doc_a co-partitioning makes this
+        # block-local distinct globally exact — no dedup shuffle of its
+        # own
         if t.num_rows == 0:
             return t
         return t.group_by(["doc_a", "doc_b"]).aggregate([]).cast(t.schema)
 
+    if sig_bytes <= SIG_BROADCAST_BYTES:
+        # broadcast path: sigs ride the object store once; the whole
+        # candidate side is ONE streaming DAG with two exchanges
+        # (bucket, then doc_a) — no materialize barrier needed
+        from turboxsl_ray.stages.aggregate import broadcast, collect_tables, fetch
+
+        parts = collect_tables(sigs)
+        if not parts:
+            return ray.data.from_arrow(_EST_SCHEMA.empty_table())
+        sig_t = pa.concat_tables(parts)
+        ids_np = sig_t["doc_id"].to_numpy()
+        order = np.argsort(ids_np)
+        sig_ref = broadcast((ids_np[order], _sig_matrix(sig_t["sig"], K)[order]))
+
+        cand = map_partitions(by_bucket, bucket_pairs)
+        by_a = partition_by_conv(
+            cand, adaptive_partitions(sig_bytes // 8), keys=["doc_a"]
+        )
+
+        def estimate_bcast(t: pa.Table) -> pa.Table:
+            t = distinct_pairs(t)
+            if t.num_rows == 0 or "doc_a" not in t.column_names:
+                return _EST_SCHEMA.empty_table()
+            ids, mat = fetch(sig_ref)
+            da = as_array(t["doc_a"]).to_numpy()
+            db = as_array(t["doc_b"]).to_numpy()
+            sa = mat[np.searchsorted(ids, da)]
+            sb = mat[np.searchsorted(ids, db)]
+            est = (sa == sb).mean(axis=1)
+            keep = est >= est_threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], type=pa.int64()),
+                    "doc_b": pa.array(db[keep], type=pa.int64()),
+                    "est_jaccard": pa.array(np.round(est[keep], 6)),
+                },
+                schema=_EST_SCHEMA,
+            )
+
+        return map_partitions(by_a, estimate_bcast)
+
+    # distributed path: materialize the (near-dup-sized) candidate set —
+    # running three shuffle operators concurrently in one streaming DAG
+    # makes their aggregator pools contend on a single node; the barrier
+    # only ever holds candidate pairs, never input-scale data
+    cand = map_partitions(by_bucket, bucket_pairs).materialize()
+    np_join = adaptive_partitions(sig_bytes + (cand.size_bytes() or 0))
+
+    from turboxsl_ray.stages.join import copartition_join
+
     sig_a = map_partitions(sigs, lambda t: t.rename_columns(["doc_a", "sig_a"]))
     sig_b = map_partitions(sigs, lambda t: t.rename_columns(["doc_b", "sig_b"]))
-    j = copartition_join(cand, sig_a, on="doc_a", num_partitions=16,
+    j = copartition_join(cand, sig_a, on="doc_a", num_partitions=np_join,
                          left_block_prep=distinct_pairs)
-    j = copartition_join(j, sig_b, on="doc_b", num_partitions=16)
+    j = copartition_join(j, sig_b, on="doc_b", num_partitions=np_join)
 
     def estimate(t: pa.Table) -> pa.Table:
         n = t.num_rows

@@ -31,12 +31,12 @@ from ray.data import Dataset
 import ray.data
 
 from turboxsl_ray.kernels import windows as W
+from turboxsl_ray.context import partitions_for_input
 from turboxsl_ray.kernels.arrays import as_array
 from turboxsl_ray.kernels.asof import asof_backward_indices
 from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
 
 SESSION_GAP_US = 15 * 60 * 1_000_000
-NUM_PARTITIONS = 16
 TOOL_ROLES = ("click", "purchase")
 
 def _reduceat(v: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -99,7 +99,11 @@ def transcripts_pipeline(
 ) -> Dataset:
     """events → one conv-hash shuffle → fused derive(+feature) blocks."""
     ds = read_events(sf_dir, columns=columns)
-    parts = partition_by_conv(ds, NUM_PARTITIONS, keys=["user_id"])
+    parts = partition_by_conv(
+        ds,
+        partitions_for_input(f"{sf_dir}/events.parquet"),
+        keys=["user_id"],
+    )
     if block_fn is None:
         return map_partitions(parts, derive_block)
     return map_partitions(parts, lambda t: block_fn(derive_block(t)))
@@ -112,6 +116,38 @@ def transcripts_pipeline(
 def q_transcripts(sf_dir: str) -> Dataset:
     """The derivation itself (per-turn text byte-equality surface)."""
     return transcripts_pipeline(sf_dir)
+
+
+def q_window_ranks(sf_dir: str) -> Dataset:
+    """Per-conversation rank functions: RANK/PERCENT_RANK/CUME_DIST
+    over ``value`` (SQL tie semantics, kernels/windows.rank_in_segments)
+    and NTILE(4) over turn order — all block-local after the one conv
+    exchange. Nulls rank first via a COALESCE sentinel (mirrored in
+    the oracle)."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        v = (
+            as_array(pc.coalesce(t["value"], pa.scalar(-1e18)))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        rank, pct, cume = W.rank_in_segments(starts, v)
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]),
+                "turn_idx": as_array(t["turn_idx"]),
+                "value": as_array(t["value"]),
+                "value_rank": pa.array(rank),
+                "value_pct_rank": pa.array(np.round(pct, 6)),
+                "value_cume_dist": pa.array(np.round(cume, 6)),
+                "turn_quartile": pa.array(W.ntile_in_segments(starts, 4)),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
 
 
 def q_lag_lead(sf_dir: str) -> Dataset:

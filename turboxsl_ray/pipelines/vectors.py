@@ -21,6 +21,7 @@ import ray
 import ray.data
 from ray.data import Dataset
 
+from turboxsl_ray.context import partitions_for_input
 from turboxsl_ray.kernels.arrays import as_array
 from turboxsl_ray.stages.aggregate import broadcast
 from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
@@ -198,7 +199,11 @@ def q_ann_lsh_buckets(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> Dataset
             }
         )
 
-    by_bucket = partition_by_conv(map_partitions(ds, assign), 16, keys=["bucket"])
+    by_bucket = partition_by_conv(
+        map_partitions(ds, assign),
+        partitions_for_input(f"{sf_dir}/embeddings.parquet", parallel=True),
+        keys=["bucket"],
+    )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         empty = pa.table({"vec_a": pa.array([], pa.int64()),
@@ -236,7 +241,11 @@ def q_ann_lsh_buckets(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> Dataset
     cand = map_partitions(by_bucket, bucket_pairs)
     # cross-bucket dedup via a pair-keyed shuffle (same sim on every
     # duplicate — min is just a deterministic pick), not on the driver
-    by_pair = partition_by_conv(cand, 16, keys=["vec_a", "vec_b"])
+    by_pair = partition_by_conv(
+        cand,
+        partitions_for_input(f"{sf_dir}/embeddings.parquet", factor=0.5),
+        keys=["vec_a", "vec_b"],
+    )
 
     def distinct(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

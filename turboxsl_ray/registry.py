@@ -46,6 +46,17 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         transcript_features.q_transcripts,
         f"{_T} SELECT * FROM t",
     ),
+    "window_ranks": (
+        transcript_features.q_window_ranks,
+        f"""{_T}
+        SELECT conv_id, turn_idx, value,
+               RANK() OVER w AS value_rank,
+               ROUND(PERCENT_RANK() OVER w, 6) AS value_pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS value_cume_dist,
+               CAST(NTILE(4) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                    AS BIGINT) AS turn_quartile
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY COALESCE(value, -1e18))""",
+    ),
     "lag_lead": (
         transcript_features.q_lag_lead,
         f"""{_T}
