@@ -399,6 +399,76 @@ def q_customers_without_orders(sf_dir: str) -> Dataset:
     return map_partitions(cust, anti)
 
 
+_SET_SCHEMA = pa.schema([("user_id", pa.int64())])
+
+# both set-op sides are "big" (> this value) events of one type — the
+# cutoff keeps INTERSECT and EXCEPT non-degenerate at every test scale
+SET_OP_CUTOFF = 200.0
+
+
+def _user_type_flags(sf_dir: str, a: str, b: str) -> Dataset:
+    """(user_id, saw-big-a, saw-big-b) via per-block boolean-any
+    partials → one user_id exchange → final any. The rows never
+    shuffle — only (int64, bool, bool) partials bounded by
+    distinct-users × blocks; this is the distributed INTERSECT/EXCEPT
+    building block (the reference's existential nodeset ``=``,
+    rvalue.c:278-294, done as set algebra instead of an O(N) rescan)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        big = pc.greater(t["value"], pa.scalar(SET_OP_CUTOFF))
+        flags = pa.table(
+            {
+                "user_id": as_array(pc.cast(t["user_id"], pa.int64())),
+                "a": as_array(pc.and_(pc.equal(t["event_type"], a), big)),
+                "b": as_array(pc.and_(pc.equal(t["event_type"], b), big)),
+            }
+        )
+        g = flags.group_by("user_id").aggregate([("a", "any"), ("b", "any")])
+        return g.rename_columns(["user_id", "a", "b"])
+
+    parts = partition_by_conv(
+        map_partitions(ds, partial),
+        partitions_for_input(f"{sf_dir}/events.parquet", factor=0.25),
+        keys=["user_id"],
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t.group_by("user_id").aggregate([("a", "any"), ("b", "any")])
+        return g.rename_columns(["user_id", "a", "b"])
+
+    return map_partitions(parts, final)
+
+
+def q_users_intersect(sf_dir: str) -> Dataset:
+    """Distinct INTERSECT: users with both a big click AND a big
+    purchase (big = value > SET_OP_CUTOFF)."""
+    flags = _user_type_flags(sf_dir, "click", "purchase")
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _SET_SCHEMA.empty_table()
+        return t.filter(pc.and_(t["a"], t["b"])).select(["user_id"])
+
+    return map_partitions(flags, keep)
+
+
+def q_users_except(sf_dir: str) -> Dataset:
+    """Distinct EXCEPT: users with a big click but no big purchase."""
+    flags = _user_type_flags(sf_dir, "click", "purchase")
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _SET_SCHEMA.empty_table()
+        return t.filter(
+            pc.and_(t["a"], pc.invert(t["b"]))
+        ).select(["user_id"])
+
+    return map_partitions(flags, keep)
+
+
 def q_event_counts(sf_dir: str) -> pd.DataFrame:
     """Per-event-type rollup of the events stream table (cents-exact)."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])

@@ -150,6 +150,49 @@ def q_window_ranks(sf_dir: str) -> Dataset:
     )
 
 
+def q_first_last(sf_dir: str) -> Dataset:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) over the whole-
+    conversation frame plus a running (unbounded-preceding) sum —
+    the head/tail/position() picks of SURVEY §2.6 (``last()``
+    functions.c:147-158) as window features. The running sum is
+    integer cents end-to-end (kernels/arrays.to_cents) and divides
+    back once, so reordered-float drift vs the SQL oracle is
+    impossible; rows before the first non-null value yield NULL
+    (SQL SUM-over-empty-frame semantics)."""
+    from turboxsl_ray.kernels.arrays import to_cents
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        v = as_array(t["value"])
+        first_i = W.segment_first_index(starts)
+        last_i = W.segment_last_index(starts)
+        nth_i = np.where(first_i + 1 <= last_i, first_i + 1, -1)
+        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        isnull = np.isnan(vals)
+        cents = to_cents(np.where(isnull, 0.0, vals))
+        run = np.cumsum(cents)
+        run_in_seg = run - (run[first_i] - cents[first_i])
+        nn = np.cumsum(~isnull)
+        nn_in_seg = nn - (nn[first_i] - (~isnull[first_i]).astype(np.int64))
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]),
+                "turn_idx": as_array(t["turn_idx"]),
+                "value": v,
+                "first_value": W.take_with_null(v, first_i),
+                "last_value": W.take_with_null(v, last_i),
+                "second_value": W.take_with_null(v, nth_i),
+                "run_value": pa.array(
+                    run_in_seg / 100.0, type=pa.float64(), mask=nn_in_seg == 0
+                ),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
 def q_lag_lead(sf_dir: str) -> Dataset:
     """lag/lead features: preceding/following-sibling analogs."""
 

@@ -67,6 +67,20 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                LAG(role, 1) OVER w AS lag_role_1
         FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
     ),
+    "first_last": (
+        transcript_features.q_first_last,
+        f"""{_T}
+        SELECT conv_id, turn_idx, value,
+               FIRST_VALUE(value) OVER w AS first_value,
+               LAST_VALUE(value) OVER w AS last_value,
+               NTH_VALUE(value, 2) OVER w AS second_value,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 100.0 AS run_value
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    ),
     "sessionize": (
         transcript_features.q_sessionize,
         f"{_SESSION_CTE} SELECT conv_id, turn_idx, gap_us, session_new, session_idx FROM s",
@@ -268,6 +282,22 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         f"""SELECT c_custkey, c_name FROM customer
            WHERE c_custkey NOT IN
                (SELECT o_custkey FROM orders WHERE o_totalprice > {relational.BIG_ORDER_CUTOFF})""",
+    ),
+    "users_intersect": (
+        relational.q_users_intersect,
+        f"""SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND value > {relational.SET_OP_CUTOFF}
+           INTERSECT
+           SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > {relational.SET_OP_CUTOFF}""",
+    ),
+    "users_except": (
+        relational.q_users_except,
+        f"""SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND value > {relational.SET_OP_CUTOFF}
+           EXCEPT
+           SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > {relational.SET_OP_CUTOFF}""",
     ),
     "event_counts": (
         relational.q_event_counts,

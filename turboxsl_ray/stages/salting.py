@@ -91,15 +91,21 @@ def conv_counts(
     )
     from turboxsl_ray.stages.aggregate import collect_tables
 
-    tables = collect_tables(partials)
-    acc: dict[str, int] = {}
-    for t in tables:
-        for k, n in zip(t[key].to_pylist(), t["n"].to_pylist()):
-            acc[k] = acc.get(k, 0) + int(n)
+    tables = [t for t in collect_tables(partials) if t.num_rows]
+    if not tables:
+        return {}
+    # Arrow hash-aggregate combine (vectorized), not a Python dict loop:
+    # with a floor the partials hold only mega-candidate convs, so this
+    # is tiny; in keep-all mode it is one group_by over per-block
+    # partials (distinct convs x blocks worst case, never full rows).
+    g = pa.concat_tables(tables).group_by(key).aggregate([("n", "sum")])
     if min_total is not None:
-        thr = int(min_total)
-        acc = {k: n for k, n in acc.items() if n > thr}
-    return acc
+        import pyarrow.compute as pc
+
+        g = g.filter(pc.greater(g["n_sum"], int(min_total)))
+    return dict(
+        zip(g[key].to_pylist(), (int(n) for n in g["n_sum"].to_pylist()))
+    )
 
 
 # The salt/replica application itself lives in pipelines/flagship.py
