@@ -116,3 +116,38 @@ def test_sample_dataset_seeded_fraction(ray_session):
     n = sample_dataset(ds, 0.3, seed=7).count()
     # seeded Bernoulli sample: well within loose binomial bounds
     assert 0.15 * total < n < 0.45 * total
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    """Stage k+1 must be STRICTLY after stage k: a click before the
+    first view doesn't count, a purchase between view and click doesn't
+    count, and users without a view are outside the funnel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines.relational import q_funnel
+
+    us = 1_000_000
+    rows = [
+        # u1: click@1 BEFORE view@2, click@3, purchase@4 -> full funnel via 3,4
+        (1, 1, "click"), (1, 2, "view"), (1, 3, "click"), (1, 4, "purchase"),
+        # u2: purchase@2 between view@1 and click@3 -> stage 2 only
+        (2, 1, "view"), (2, 3, "click"), (2, 2, "purchase"),
+        # u3: no view at all -> absent
+        (3, 1, "click"), (3, 2, "purchase"),
+        # u4: view only -> stage 1
+        (4, 9, "view"),
+        # u5: simultaneous view/click (equal ts) -> click NOT strictly after
+        (5, 7, "view"), (5, 7, "click"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * us for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_funnel(str(tmp_path)).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == [1, 2, 4, 5]
+    assert got["stage"].tolist() == [3, 2, 1, 1]
+    assert got.loc[0, "click_ts"] == pd.Timestamp("1970-01-01 00:00:03")
+    assert pd.isna(got.loc[2, "click_ts"]) and pd.isna(got.loc[3, "click_ts"])

@@ -257,3 +257,40 @@ def test_minhash_lsh_broadcast_equals_distributed(ray_session, dup_dir, monkeypa
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(bcast, dist)
+
+
+def test_embed_dedup_transitive_chain(ray_session, tmp_path):
+    """a~b and b~c above threshold but a!~c: CC must still cluster all
+    three (transitive closure), canonical = min vec_id; isolated
+    vectors stay their own singleton clusters."""
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines.vectors import q_embed_dedup
+
+    rng = np.random.default_rng(9)
+    # planted chain: rotate a base vector ~35 degrees per step so
+    # adjacent sims (~0.82) pass threshold 0.6 but ends (~0.34) fail
+    base = np.zeros(16); base[0] = 1.0
+    step = np.zeros(16); step[1] = 1.0
+    ang = np.deg2rad(35)
+    chain = [base,
+             np.cos(ang) * base + np.sin(ang) * step,
+             np.cos(2 * ang) * base + np.sin(2 * ang) * step]
+    iso = rng.normal(size=(3, 16))
+    iso -= (iso @ base)[:, None] * base  # orthogonal to the chain plane
+    iso -= (iso @ step)[:, None] * step
+    mat = np.vstack(chain + [iso]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(6), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), 16).cast(pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(6, dtype=np.int32)),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = (
+        q_embed_dedup(str(tmp_path), threshold=0.6)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert got["cluster_id"].tolist()[:3] == [0, 0, 0]
+    assert got["cluster_id"].tolist()[3:] == [3, 4, 5]
+    assert got["is_canonical"].tolist() == [True, False, False, True, True, True]

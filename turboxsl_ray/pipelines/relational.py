@@ -993,3 +993,74 @@ def q_rollup_pricing(sf_dir: str) -> pd.DataFrame:
     out["sum_qty"] = out["q_c"] / 100.0
     out["n"] = out["n"].astype(np.int64)
     return out[["l_returnflag", "l_linestatus", "n", "sum_qty"]]
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str) -> Dataset:
+    """Sequence/funnel detection (MATCH_RECOGNIZE-lite): per user, the
+    earliest strictly-ordered view -> click -> purchase chain, plus the
+    furthest stage reached. The reference analog is a chained
+    following-axis selection with predicates — ``following::click[1]``
+    after a ``view`` (following axis /root/reference/src/xpath.c:409-428
+    + positional filter xpath.c:178-188) — re-expressed as per-user
+    vectorized stage scans.
+
+    Physical plan: project 3 columns at the read, ONE shuffle by
+    user_id, then block-local numpy: per-stage conditional minima via
+    ``np.minimum.at`` over the factorized user index — no per-user
+    Python loop, no sort (conditional min doesn't need order)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    parts = partition_by_conv(
+        ds, partitions_for_input(f"{sf_dir}/events.parquet"), keys=["user_id"]
+    )
+
+    def stages(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "view_ts": pa.array([], pa.timestamp("us")),
+                "click_ts": pa.array([], pa.timestamp("us")),
+                "purchase_ts": pa.array([], pa.timestamp("us")),
+                "stage": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = as_array(t["user_id"]).to_numpy()
+        ts = as_array(t["ts"].cast(pa.int64())).to_numpy()
+        etype = as_array(t["event_type"])
+        users, inv = np.unique(uid, return_inverse=True)
+        sentinel = np.iinfo(np.int64).max
+        mins = []
+        prev = np.full(len(users), -1, dtype=np.int64)  # stage 0: no lower bound
+        for si, name in enumerate(FUNNEL_STAGES):
+            cur = np.full(len(users), sentinel, dtype=np.int64)
+            mask = pc.equal(etype, name).to_numpy(zero_copy_only=False)
+            mask &= ts > prev[inv]  # strictly after the previous stage
+            np.minimum.at(cur, inv[mask], ts[mask])
+            mins.append(cur)
+            prev = cur
+        t1, t2, t3 = mins
+        entered = t1 != sentinel  # funnel population = users with a view
+        stage = 1 + (t2[entered] != sentinel) + (t3[entered] != sentinel)
+
+        def ts_col(v: np.ndarray) -> pa.Array:
+            return pc.if_else(
+                pa.array(v[entered] != sentinel),
+                pa.array(v[entered], type=pa.int64()).cast(pa.timestamp("us")),
+                pa.scalar(None, pa.timestamp("us")),
+            )
+
+        return pa.table(
+            {
+                "user_id": pa.array(users[entered], type=pa.int64()),
+                "view_ts": ts_col(t1),
+                "click_ts": ts_col(t2),
+                "purchase_ts": ts_col(t3),
+                "stage": pa.array(stage, type=pa.int64()),
+            }
+        )
+
+    return map_partitions(parts, stages)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -254,6 +255,82 @@ def q_ann_lsh_buckets(sf_dir: str, threshold: float = PAIR_THRESHOLD) -> Dataset
         return g.rename_columns(["vec_a", "vec_b", "sim"]).cast(_EMB_PAIR_SCHEMA)
 
     return map_partitions(by_pair, distinct)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup dedup (keep-one-per-cluster)
+# --------------------------------------------------------------------------
+
+EMBED_DEDUP_THRESHOLD = 0.6
+
+_EMB_DEDUP_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("cluster_id", pa.int64()), ("is_canonical", pa.bool_())]
+)
+
+
+def q_embed_dedup(
+    sf_dir: str, threshold: float = EMBED_DEDUP_THRESHOLD
+) -> Dataset:
+    """Embedding-cosine near-dup dedup: connected components over the
+    exact cosine pair graph (``q_embedding_pairs`` at a dedup-grade
+    threshold), every vector labeled with the MIN vec_id reachable;
+    ``is_canonical`` marks the one vector per cluster a keep-one dedup
+    retains. The corpus-text twin is ``corpus.q_near_dup_clusters``;
+    this closes the dedup family on the embedding side.
+
+    Scale shape: pair generation is the tiled exact plan (swap in
+    ``q_ann_lsh_buckets`` candidates when n² flops stop being
+    affordable — same downstream), the CC iteration runs on the BSP
+    actor engine (stages/cc.py) over pair-graph nodes only, and
+    vectors outside the pair graph never enter the loop — they join
+    the labels at the end (left join + fill-own-id)."""
+    from turboxsl_ray.context import partitions_for_input
+    from turboxsl_ray.stages.cc import connected_components
+    from turboxsl_ray.stages.join import copartition_join
+
+    ids_ds = read_embeddings(sf_dir, columns=["vec_id"])
+    pairs = q_embedding_pairs(sf_dir, threshold=threshold).materialize()
+
+    def own_label(t: pa.Table) -> pa.Table:
+        ids = as_array(pc.cast(t["vec_id"], pa.int64()))
+        return pa.table(
+            {"vec_id": ids, "cluster_id": ids,
+             "is_canonical": pa.array(np.ones(len(ids), dtype=bool))},
+            schema=_EMB_DEDUP_SCHEMA,
+        )
+
+    if pairs.count() == 0:
+        return map_partitions(ids_ds, own_label)
+
+    labels = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    clusters = map_partitions(
+        labels, lambda t: t.rename_columns(["vec_id", "cluster_id"])
+    )
+    out = copartition_join(
+        ids_ds,
+        clusters,
+        on="vec_id",
+        num_partitions=partitions_for_input(
+            f"{sf_dir}/embeddings.parquet", factor=0.25
+        ),
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return _EMB_DEDUP_SCHEMA.empty_table()
+        ids = as_array(pc.cast(t["vec_id"], pa.int64()))
+        comp = pc.coalesce(pc.cast(t["cluster_id"], pa.int64()), ids)
+        return pa.table(
+            {
+                "vec_id": ids,
+                "cluster_id": as_array(comp),
+                "is_canonical": as_array(pc.equal(comp, ids)),
+            },
+            schema=_EMB_DEDUP_SCHEMA,
+        )
+
+    return map_partitions(out, finish)
 
 
 # --------------------------------------------------------------------------

@@ -348,6 +348,22 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
            FROM events GROUP BY user_id, date_trunc('hour', ts)""",
     ),
+    "funnel": (
+        relational.q_funnel,
+        """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                      WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                      WHERE e.event_type = 'click' GROUP BY e.user_id),
+             p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+           SELECT CAST(v.user_id AS BIGINT) AS user_id,
+                  v.t1 AS view_ts, c.t2 AS click_ts, p.t3 AS purchase_ts,
+                  CAST(1 + (c.t2 IS NOT NULL)::INT + (p.t3 IS NOT NULL)::INT AS BIGINT) AS stage
+           FROM v LEFT JOIN c ON v.user_id = c.user_id
+                  LEFT JOIN p ON v.user_id = p.user_id""",
+    ),
     # ---- text analysis / dedup ----
     "token_stats": (
         text.q_token_stats,
@@ -544,6 +560,23 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                    CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {vectors.PAIR_THRESHOLD}""",
+    ),
+    "embed_dedup": (
+        vectors.q_embed_dedup,
+        f"""WITH RECURSIVE
+            pairs AS (SELECT a.vec_id AS da, b.vec_id AS db
+                      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {vectors.EMBED_DEDUP_THRESHOLD}),
+            edges AS (SELECT da AS s, db AS d FROM pairs
+                      UNION ALL SELECT db, da FROM pairs),
+            walk(node, comp) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+            )
+        SELECT CAST(node AS BIGINT) AS vec_id, CAST(MIN(comp) AS BIGINT) AS cluster_id,
+               (MIN(comp) = node) AS is_canonical
+        FROM walk GROUP BY node""",
     ),
     "ann_lsh_buckets": (vectors.q_ann_lsh_buckets, None),
     "ann_ivf": (vectors.q_ann_ivf, None),  # approximate; recall pinned by tests
