@@ -78,3 +78,22 @@ def test_sorted_with_rank_ascending(ray_session):
     ).to_pandas().sort_values("rank")
     assert out["id"].tolist() == [2, 1, 3, 0]
     assert out["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_order_lineitem_join_plan_parity(ray_session):
+    """The AQE broadcast-dimension plan and the forced co-partitioned
+    large x large plan must be result-identical."""
+    from turboxsl_ray.pipelines.relational import q_order_lineitem_join
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_order_lineitem_join(sf).to_pandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    b = (
+        q_order_lineitem_join(sf, force_copartition=True).to_pandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

@@ -211,6 +211,10 @@ def q_tfidf(sf_dir: str) -> Dataset:
         num_partitions=partitions_for_input(
             f"{sf_dir}/documents.parquet", factor=4.0
         ),
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
     )
 
     def score(t: pa.Table) -> pa.Table:

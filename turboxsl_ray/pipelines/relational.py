@@ -529,8 +529,118 @@ def q_union_streams(sf_dir: str) -> Dataset:
     return filtered("click").union(filtered("purchase"))
 
 
-def q_order_lineitem_join(sf_dir: str) -> Dataset:
-    """LARGE x LARGE equi-join: orders ⋈ lineitem co-partitioned by
+# dimension side of a join broadcasts below this COMPRESSED on-disk
+# size (≈2x decoded; every worker holds one copy, so the cap is a
+# worker-heap budget, not a cluster budget)
+JOIN_BROADCAST_MAX_BYTES = 256 << 20
+
+_OLJ_SCHEMA = pa.schema(
+    [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
+     ("n_lines", pa.int64()), ("revenue", pa.float64())]
+)
+
+
+def q_order_lineitem_join(sf_dir: str, force_copartition: bool = False) -> Dataset:
+    """orders ⋈ lineitem → per-order rollup, with an AQE-style plan
+    switch on the MEASURED size of the orders side:
+
+    - orders fits a broadcast (compressed bytes <=
+      JOIN_BROADCAST_MAX_BYTES): per-block partial rollup of lineitem
+      (the combiner — ~4 lines/order collapse before any exchange),
+      ONE shuffle of the partials by orderkey, final combine + probe
+      the broadcast ``orderkey -> priority`` array (sorted keys +
+      searchsorted, dictionary-encoded priorities). Inner-join
+      semantics via the probe's found-mask.
+    - orders is fact-sized too: co-partitioned large x large plan
+      (stages/join.py — one exchange, per-block C hash join), rollup
+      block-local after the join.
+
+    Both plans are oracle-identical (parity pinned by a test that
+    forces the co-partitioned path)."""
+    from turboxsl_ray.context import on_disk_nbytes
+    from turboxsl_ray.kernels.arrays import to_cents
+
+    orders_bytes = on_disk_nbytes(f"{sf_dir}/orders.parquet")
+    if force_copartition or orders_bytes is None or orders_bytes > JOIN_BROADCAST_MAX_BYTES:
+        return _order_lineitem_copartition(sf_dir)
+
+    dim = small_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    keys = dim["o_orderkey"].cast(pa.int64()).to_numpy()
+    order_idx = np.argsort(keys, kind="stable")
+    prio = dim["o_orderpriority"].combine_chunks().dictionary_encode()
+    ref = broadcast(
+        {
+            "keys": keys[order_idx],
+            "codes": prio.indices.to_numpy(zero_copy_only=False)[order_idx],
+            "dict": prio.dictionary.to_pylist(),
+        }
+    )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("o_orderkey", pa.int64()), ("n", pa.int64()), ("rev_c", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        price = as_array(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = as_array(t["l_discount"]).to_numpy(zero_copy_only=False)
+        tbl = pa.table(
+            {
+                "o_orderkey": as_array(pc.cast(t["l_orderkey"], pa.int64())),
+                "rev_c": pa.array(to_cents(price * (1 - disc))),
+            }
+        )
+        g = tbl.group_by("o_orderkey", use_threads=False).aggregate(
+            [("rev_c", "count"), ("rev_c", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderkey": as_array(g["o_orderkey"]),
+                "n": as_array(pc.cast(g["rev_c_count"], pa.int64())),
+                "rev_c": as_array(pc.cast(g["rev_c_sum"], pa.int64())),
+            }
+        )
+
+    parts = partition_by_conv(
+        map_partitions(li, partial),
+        partitions_for_input(f"{sf_dir}/orders.parquet"),
+        keys=["o_orderkey"],
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OLJ_SCHEMA.empty_table()
+        g = t.group_by("o_orderkey", use_threads=False).aggregate(
+            [("n", "sum"), ("rev_c", "sum")]
+        )
+        side = ray.get(ref)
+        ok = as_array(g["o_orderkey"]).to_numpy()
+        pos = np.searchsorted(side["keys"], ok)
+        pos = np.clip(pos, 0, max(len(side["keys"]) - 1, 0))
+        found = side["keys"][pos] == ok if len(side["keys"]) else np.zeros(len(ok), bool)
+        prio_str = np.array(side["dict"], dtype=object)[side["codes"][pos]]
+        out = pa.table(
+            {
+                "o_orderkey": pa.array(ok, type=pa.int64()),
+                "o_orderpriority": pa.array(prio_str, type=pa.string()),
+                "n_lines": as_array(pc.cast(g["n_sum"], pa.int64())),
+                "revenue": as_array(
+                    pc.divide(pc.cast(g["rev_c_sum"], pa.float64()), 100.0)
+                ),
+            },
+            schema=_OLJ_SCHEMA,
+        )
+        return out.filter(pa.array(found))
+
+    return map_partitions(parts, final)
+
+
+def _order_lineitem_copartition(sf_dir: str) -> Dataset:
+    """LARGE x LARGE path: orders ⋈ lineitem co-partitioned by
     orderkey (stages/join.py — one exchange, per-block C hash join),
     then a block-local per-order rollup (keys are already co-located,
     so no second shuffle). Money in integer cents (oracle-exact)."""
@@ -561,26 +671,30 @@ def q_order_lineitem_join(sf_dir: str) -> Dataset:
         num_partitions=partitions_for_input(
             f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
         ),
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("rev_c", pa.int64())]
+        ),
     )
 
     def rollup(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.schema(
-                [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
-                 ("n_lines", pa.int64()), ("revenue", pa.float64())]
-            ).empty_table()
+            return _OLJ_SCHEMA.empty_table()
         g = t.group_by(["o_orderkey", "o_orderpriority"]).aggregate(
             [("rev_c", "count"), ("rev_c", "sum")]
         )
         return pa.table(
             {
-                "o_orderkey": as_array(g["o_orderkey"]),
+                "o_orderkey": as_array(pc.cast(g["o_orderkey"], pa.int64())),
                 "o_orderpriority": as_array(g["o_orderpriority"]),
                 "n_lines": as_array(pc.cast(g["rev_c_count"], pa.int64())),
                 "revenue": as_array(
                     pc.divide(pc.cast(g["rev_c_sum"], pa.float64()), 100.0)
                 ),
-            }
+            },
+            schema=_OLJ_SCHEMA,
         )
 
     return map_partitions(joined, rollup)
