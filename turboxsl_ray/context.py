@@ -65,6 +65,17 @@ def tune_context(
         # so a large cluster is never silently floored at a default.
     if read_min_blocks is not None:
         ctx.read_op_min_num_blocks = read_min_blocks
+    import ray
+
+    if ray.is_initialized():
+        # ONE uniform shuffle-aggregator policy (same as bench.py's):
+        # CPUs/2 aggregator actors, each 1 CPU. Ray's default cap
+        # over-provisions aggregator actors on a small/medium node —
+        # more aggregators than cores multiplies actor startup +
+        # context-switch cost into every exchange (measured 3-5x
+        # per-query wall at 32 CPUs).
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
     if preserve_order is not None:
