@@ -97,3 +97,87 @@ def test_order_lineitem_join_plan_parity(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_copartition_join_hot_key_salting_parity(ray_session):
+    """A Zipf-hot key salted over 4 buckets must produce exactly the
+    unsalted join's rows (inner AND left), including correct
+    multiplicity where the hot key has several right rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from turboxsl_ray.stages.join import copartition_join
+
+    rng = np.random.default_rng(3)
+    # left: key 7 is hot (1000 rows), keys 0..49 sparse; key 99 has no right row
+    lkeys = np.concatenate([np.full(1000, 7), rng.integers(0, 50, 400), [99]])
+    left = pa.table({"k": pa.array(lkeys, pa.int64()),
+                     "lv": pa.array(np.arange(len(lkeys), dtype=np.int64))})
+    # right: hot key has 3 rows (multiplicity!), others 0-2 rows
+    rkeys = np.concatenate([[7, 7, 7], rng.integers(0, 50, 60)])
+    right = pa.table({"k": pa.array(rkeys, pa.int64()),
+                      "rv": pa.array(np.arange(len(rkeys), dtype=np.int64))})
+
+    def run(how, hot):
+        return (
+            copartition_join(
+                ray.data.from_arrow(left).repartition(4),
+                ray.data.from_arrow(right).repartition(2),
+                on="k", how=how, num_partitions=8,
+                hot_keys={7: 4} if hot else None,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "left"):
+        plain, salted = run(how, False), run(how, True)
+        pd.testing.assert_frame_equal(plain, salted)
+    # sanity: inner multiplicity for the hot key is n_left(7) x n_right(7)
+    expected = int((lkeys == 7).sum()) * int((rkeys == 7).sum())
+    assert int((run("inner", True)["k"] == 7).sum()) == expected
+
+
+def test_copartition_join_full_outer(ray_session):
+    """FULL OUTER parity vs pandas merge(how='outer'): left-only rows
+    carry null right columns, right-only rows appear with null left
+    columns, and the key column coalesces."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from turboxsl_ray.stages.join import copartition_join
+
+    left = pa.table({"k": pa.array([1, 2, 2, 5], pa.int64()),
+                     "lv": pa.array([10, 20, 21, 50], pa.int64())})
+    right = pa.table({"k": pa.array([2, 3, 5, 5], pa.int64()),
+                      "rv": pa.array([200, 300, 500, 501], pa.int64())})
+    got = (
+        copartition_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(2),
+            on="k", how="full", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+        .astype({"lv": "Int64", "rv": "Int64"})
+    )
+    exp = (
+        left.to_pandas().merge(right.to_pandas(), on="k", how="outer")
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+        .astype({"lv": "Int64", "rv": "Int64"})
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]])
+    import pytest
+
+    with pytest.raises(ValueError):
+        copartition_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", how="full", hot_keys={2: 2},
+        )

@@ -1178,3 +1178,77 @@ def q_funnel(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(parts, stages)
+
+
+def q_click_purchase_full(sf_dir: str) -> Dataset:
+    """FULL OUTER merge of per-user click counts vs purchase counts —
+    users with only clicks carry a NULL purchase count and vice versa
+    (the union-of-keys semantics ``copartition_join(how='full')``
+    provides for raw streams). Here both sides derive from the same
+    events table, so the plan FUSES them: per-block partial counts of
+    both types, ONE user-keyed exchange of the partials, block-local
+    combine + pivot. Two aggregate pipelines + a 3rd join exchange
+    would move the same rows three times."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    _P_SCHEMA = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _P_SCHEMA.empty_table()
+        t = t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        )
+        g = t.group_by(["user_id", "event_type"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "user_id": as_array(pc.cast(g["user_id"], pa.int64())),
+                "event_type": as_array(g["event_type"]),
+                "n": as_array(pc.cast(g["count_all"], pa.int64())),
+            },
+            schema=_P_SCHEMA,
+        )
+
+    parts = partition_by_conv(
+        map_partitions(ds, partial),
+        partitions_for_input(f"{sf_dir}/events.parquet", factor=0.5),
+        keys=["user_id"],
+    )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_clicks", pa.int64()), ("n_purchases", pa.int64())]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by(["user_id", "event_type"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        uid = as_array(g["user_id"]).to_numpy()
+        et = as_array(g["event_type"])
+        n = as_array(pc.cast(g["n_sum"], pa.int64())).to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        sides = {}
+        for name in ("click", "purchase"):
+            v = np.full(len(users), -1, dtype=np.int64)
+            m = pc.equal(et, name).to_numpy(zero_copy_only=False)
+            v[inv[m]] = n[m]
+            sides[name] = pc.if_else(
+                pa.array(v >= 0), pa.array(v, type=pa.int64()),
+                pa.scalar(None, pa.int64()),
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(users, type=pa.int64()),
+                "n_clicks": sides["click"],
+                "n_purchases": sides["purchase"],
+            },
+            schema=out_schema,
+        )
+
+    return map_partitions(parts, combine)

@@ -348,6 +348,16 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
            FROM events GROUP BY user_id, date_trunc('hour', ts)""",
     ),
+    "click_purchase_full": (
+        relational.q_click_purchase_full,
+        """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+                      FROM events WHERE event_type = 'click' GROUP BY user_id),
+             p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+                      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+           SELECT CAST(COALESCE(c.user_id, p.user_id) AS BIGINT) AS user_id,
+                  c.n_clicks, p.n_purchases
+           FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""",
+    ),
     "funnel": (
         relational.q_funnel,
         """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events

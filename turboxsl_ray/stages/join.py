@@ -26,6 +26,7 @@ from turboxsl_ray.kernels.arrays import as_array
 from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
 
 SRC_COL = "__src"
+SALT_COL = "__salt"
 
 
 def copartition_join(
@@ -38,6 +39,7 @@ def copartition_join(
     left_block_prep=None,
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
+    hot_keys: "dict | None" = None,
 ) -> Dataset:
     """Equi-join two large Datasets on ``on`` (non-key column names
     must be disjoint). ``how`` in {"inner", "left"}.
@@ -51,9 +53,25 @@ def copartition_join(
     ``left_schema``/``right_schema``: pass when the caller knows its
     side's schema (prepped blocks usually declare one) — probing the
     schema of a map_batches Dataset executes a limit-1 plan, a
-    measurable per-query fixed cost."""
-    if how not in ("inner", "left"):
+    measurable per-query fixed cost.
+
+    ``hot_keys``: skew plan ``{key value -> bucket count}`` from the
+    caller's count pre-pass (stages/salting.conv_counts shape). A hot
+    key's LEFT rows spread uniformly over its buckets (deterministic
+    per-block cumcount % nb — retry-idempotent), its RIGHT rows
+    replicate to every bucket, and the exchange keys on
+    ``(on, salt)`` — so one Zipf-hot key no longer pins its whole
+    probe side to a single reducer. Results are identical to the
+    unsalted plan (each left row meets the full right side of its key
+    exactly once); replication cost = hot right rows x buckets, which
+    the caller bounds by only salting keys above its threshold."""
+    if how not in ("inner", "left", "full"):
         raise ValueError(f"unsupported join type {how!r}")
+    if how == "full" and hot_keys:
+        # replicated right rows of a hot key would each emit their own
+        # unmatched row when nothing joins; a full-outer plan must salt
+        # the LEFT side only (not needed yet — fail loudly instead)
+        raise ValueError("hot_keys salting is not supported for full outer joins")
 
     def _schema(ds: Dataset) -> "pa.Schema | None":
         s = ds.schema()
@@ -84,6 +102,42 @@ def copartition_join(
     for n in rnames:
         out_types[n] = rschema.field(n).type
     out_types[SRC_COL] = pa.int8()
+    if hot_keys:
+        out_names = out_names + [SALT_COL]
+        out_types[SALT_COL] = pa.int64()
+        hot_vals = pa.array(list(hot_keys)).cast(out_types[on])
+        hot_nb = np.asarray(list(hot_keys.values()), dtype=np.int64)
+
+    def _bucket_counts(key_col) -> np.ndarray:
+        """Per-row bucket count: hot_keys[k] for hot keys, 1 otherwise."""
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(as_array(key_col), value_set=hot_vals)
+        nb = np.ones(len(idx), dtype=np.int64)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        if valid.any():
+            nb[valid] = hot_nb[
+                idx.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+            ]
+        return nb
+
+    def _cumcount_mod(key_col, nb: np.ndarray) -> np.ndarray:
+        """Deterministic per-block occurrence counter per key, mod nb —
+        spreads a hot key's left rows uniformly over its buckets
+        without RNG (identical on task retry)."""
+        codes = (
+            as_array(key_col).dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n = len(codes)
+        order = np.argsort(codes, kind="stable")
+        seg_start = np.concatenate(([True], codes[order][1:] != codes[order][:-1]))
+        pos = np.arange(n) - np.maximum.accumulate(
+            np.where(seg_start, np.arange(n), 0)
+        )
+        cum = np.empty(n, dtype=np.int64)
+        cum[order] = pos
+        return cum % np.maximum(nb, 1)
 
     def align(src: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -92,18 +146,42 @@ def copartition_join(
             for name in out_names:
                 if name == SRC_COL:
                     cols.append(pa.array(np.full(n, src, dtype=np.int8)))
+                elif name == SALT_COL:
+                    cols.append(pa.array(np.zeros(n, dtype=np.int64)))
                 elif name in t.column_names:
                     cols.append(t[name].cast(out_types[name]))
                 else:
                     cols.append(pa.nulls(n, type=out_types[name]))
-            return pa.table(dict(zip(out_names, cols)))
+            base = pa.table(dict(zip(out_names, cols)))
+            if not hot_keys or n == 0:
+                return base
+            nb = _bucket_counts(base[on])
+            if src == 0:
+                salt = _cumcount_mod(base[on], nb)
+                return base.set_column(
+                    base.column_names.index(SALT_COL),
+                    SALT_COL,
+                    pa.array(salt, type=pa.int64()),
+                )
+            if not (nb > 1).any():
+                return base
+            take_idx = np.repeat(np.arange(n), nb)
+            starts = np.concatenate(([0], np.cumsum(nb[:-1])))
+            salt = np.arange(int(nb.sum()), dtype=np.int64) - np.repeat(starts, nb)
+            rep = base.take(pa.array(take_idx))
+            return rep.set_column(
+                rep.column_names.index(SALT_COL),
+                SALT_COL,
+                pa.array(salt, type=pa.int64()),
+            )
 
         return fn
 
     combined = map_partitions(left, align(0)).union(map_partitions(right, align(1)))
-    parts = partition_by_conv(combined, num_partitions, keys=[on])
+    shuffle_keys = [on, SALT_COL] if hot_keys else [on]
+    parts = partition_by_conv(combined, num_partitions, keys=shuffle_keys)
 
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer", "full": "full outer"}[how]
 
     def block_join(t: pa.Table) -> pa.Table:
         src = as_array(t[SRC_COL]).to_numpy(zero_copy_only=False)
