@@ -1252,3 +1252,41 @@ def q_click_purchase_full(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(parts, combine)
+
+
+def q_cube_pricing(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE over (returnflag, linestatus): all four grouping sets
+    — (flag, status), (flag), (status), () — derived from ONE scan's
+    finest-level partials on the driver (higher levels are sums of
+    lower ones; the result is low-cardinality by construction, so the
+    derivation is a few-row pandas pass, never a second exchange)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = as_array(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": as_array(t["l_returnflag"]),
+                "l_linestatus": as_array(t["l_linestatus"]),
+                "q_c": pa.array(to_cents(q)),
+            }
+        )
+
+    fine = groupby_small(
+        map_partitions(ds, prep),
+        keys=["l_returnflag", "l_linestatus"],
+        specs={"n": (None, "count"), "q_c": ("q_c", "sum")},
+        int_cols=("n", "q_c"),
+    )
+    by_flag = fine.groupby("l_returnflag", as_index=False)[["n", "q_c"]].sum()
+    by_flag["l_linestatus"] = None
+    by_status = fine.groupby("l_linestatus", as_index=False)[["n", "q_c"]].sum()
+    by_status["l_returnflag"] = None
+    top = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None],
+         "n": [fine["n"].sum()], "q_c": [fine["q_c"].sum()]}
+    )
+    out = pd.concat([fine, by_flag, by_status, top], ignore_index=True)
+    out["sum_qty"] = out["q_c"] / 100.0
+    out["n"] = out["n"].astype(np.int64)
+    return out[["l_returnflag", "l_linestatus", "n", "sum_qty"]]

@@ -475,6 +475,12 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty
            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     ),
+    "cube_pricing": (
+        relational.q_cube_pricing,
+        """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty
+           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    ),
     "grp_median": (
         relational.q_grp_median,
         """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
