@@ -181,3 +181,47 @@ def test_copartition_join_full_outer(ray_session):
             ray.data.from_arrow(left), ray.data.from_arrow(right),
             on="k", how="full", hot_keys={2: 2},
         )
+
+
+def test_bloom_no_false_negatives_and_prunes(ray_session):
+    """Every build key passes the mask (no false negatives — a miss
+    would drop a real join row); keys far outside the build set are
+    mostly pruned (the filter actually filters)."""
+    import ray.data
+
+    from turboxsl_ray.stages.bloom import bloom_mask, build_bloom
+
+    keys = np.arange(0, 200_000, 2, dtype=np.int64)  # 100k even keys
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})).repartition(4)
+    bloom = build_bloom(ds, "k")
+    assert bloom_mask(pa.array(keys), bloom).all()
+    probe = np.arange(1_000_001, 1_100_001, dtype=np.int64)  # disjoint range
+    fp = bloom_mask(pa.array(probe), bloom).mean()
+    assert fp < 0.05, f"false-positive rate {fp:.3f}"
+    # string keys: same contract
+    sds = ray.data.from_arrow(
+        pa.table({"k": pa.array([f"id{i}" for i in range(5000)])})
+    ).repartition(2)
+    sbloom = build_bloom(sds, "k")
+    assert bloom_mask(pa.array([f"id{i}" for i in range(5000)]), sbloom).all()
+    sfp = bloom_mask(pa.array([f"zz{i}" for i in range(5000)]), sbloom).mean()
+    assert sfp < 0.05
+
+
+def test_urgent_order_revenue_bloom_parity(ray_session):
+    """Bloom pruning must be invisible in the result."""
+    import pandas as pd
+
+    from turboxsl_ray.pipelines.relational import q_urgent_order_revenue
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_urgent_order_revenue(sf, bloom=True).to_pandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    b = (
+        q_urgent_order_revenue(sf, bloom=False).to_pandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

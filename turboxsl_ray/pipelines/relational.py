@@ -1290,3 +1290,70 @@ def q_cube_pricing(sf_dir: str) -> pd.DataFrame:
     out["sum_qty"] = out["q_c"] / 100.0
     out["n"] = out["n"].astype(np.int64)
     return out[["l_returnflag", "l_linestatus", "n", "sum_qty"]]
+
+
+def q_urgent_order_revenue(sf_dir: str, bloom: bool = True) -> Dataset:
+    """Selective-build join with Bloom pruning: only 1-URGENT orders
+    (~20% of the table) join lineitem, so ~80% of the fact side would
+    shuffle just to be dropped by the per-block hash join. The
+    build side's keys summarize into a 512 KiB Bloom filter
+    (stages/bloom.py) that prunes fact rows BEFORE the exchange —
+    the shuffle then moves only might-match rows; false positives
+    are dropped by the join exactly as before (parity pinned by a
+    test with bloom disabled)."""
+    from turboxsl_ray.kernels.arrays import to_cents
+    from turboxsl_ray.stages.join import copartition_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"o_orderkey": as_array(pc.cast(t["o_orderkey"], pa.int64()))})
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        price = as_array(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = as_array(t["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": as_array(pc.cast(t["l_orderkey"], pa.int64())),
+                "rev_c": pa.array(to_cents(price * (1 - disc))),
+            }
+        )
+
+    joined = copartition_join(
+        map_partitions(orders, urgent),
+        map_partitions(li, li_prep),
+        on="o_orderkey",
+        how="inner",
+        num_partitions=partitions_for_input(f"{sf_dir}/lineitem.parquet", factor=0.5),
+        left_schema=pa.schema([("o_orderkey", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("rev_c", pa.int64())]),
+        bloom_prune_right=bloom,
+    )
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("n_lines", pa.int64()), ("revenue", pa.float64())]
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return out_schema.empty_table()
+        g = t.group_by("o_orderkey", use_threads=False).aggregate(
+            [("rev_c", "count"), ("rev_c", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderkey": as_array(pc.cast(g["o_orderkey"], pa.int64())),
+                "n_lines": as_array(pc.cast(g["rev_c_count"], pa.int64())),
+                "revenue": as_array(
+                    pc.divide(pc.cast(g["rev_c_sum"], pa.float64()), 100.0)
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return map_partitions(joined, rollup)

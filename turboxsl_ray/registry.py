@@ -358,6 +358,15 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   c.n_clicks, p.n_purchases
            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""",
     ),
+    "urgent_order_revenue": (
+        relational.q_urgent_order_revenue,
+        """SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                  CAST(COUNT(*) AS BIGINT) AS n_lines,
+                  SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderpriority = '1-URGENT'
+           GROUP BY o.o_orderkey""",
+    ),
     "funnel": (
         relational.q_funnel,
         """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events

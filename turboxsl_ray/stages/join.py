@@ -40,6 +40,7 @@ def copartition_join(
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
     hot_keys: "dict | None" = None,
+    bloom_prune_right: bool = False,
 ) -> Dataset:
     """Equi-join two large Datasets on ``on`` (non-key column names
     must be disjoint). ``how`` in {"inner", "left"}.
@@ -67,6 +68,8 @@ def copartition_join(
     the caller bounds by only salting keys above its threshold."""
     if how not in ("inner", "left", "full"):
         raise ValueError(f"unsupported join type {how!r}")
+    if how == "full" and bloom_prune_right:
+        raise ValueError("bloom_prune_right would drop full-outer right rows")
     if how == "full" and hot_keys:
         # replicated right rows of a hot key would each emit their own
         # unmatched row when nothing joins; a full-outer plan must salt
@@ -177,7 +180,23 @@ def copartition_join(
 
         return fn
 
-    combined = map_partitions(left, align(0)).union(map_partitions(right, align(1)))
+    if bloom_prune_right:
+        import ray
+
+        from turboxsl_ray.stages.aggregate import broadcast
+        from turboxsl_ray.stages.bloom import bloom_mask, build_bloom
+
+        bloom_ref = broadcast(build_bloom(left, on))
+        align_r = align(1)
+
+        def right_fn(t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                t = t.filter(pa.array(bloom_mask(t[on], ray.get(bloom_ref))))
+            return align_r(t)
+    else:
+        right_fn = align(1)
+
+    combined = map_partitions(left, align(0)).union(map_partitions(right, right_fn))
     shuffle_keys = [on, SALT_COL] if hot_keys else [on]
     parts = partition_by_conv(combined, num_partitions, keys=shuffle_keys)
 
