@@ -175,3 +175,59 @@ def test_frame_sample_stage(ray_session):
     assert len(frames) > 500  # fan-out: more frames than docs
     assert (frames["frame_idx"] % 4 == 0).all()
     assert frames["frame"].map(len).max() <= 16
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """Encode → decode returns the exact samples; the parser walks
+    chunks (an extra chunk before 'data' must not break it)."""
+    import struct
+
+    from turboxsl_ray.pipelines.multimodal import decode_wav, encode_wav
+
+    s = (np.sin(np.linspace(0, 20, 1000)) * 20000).astype(np.int16)
+    buf = encode_wav(s, 8000)
+    got, rate = decode_wav(buf)
+    assert rate == 8000 and np.array_equal(got, s)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = buf[:fmt_end] + extra + buf[fmt_end:]
+    got2, _ = decode_wav(spliced)
+    assert np.array_equal(got2, s)
+
+
+def test_audio_stage_sine_identities(ray_session):
+    """A pure sine's RMS is amp/sqrt(2) and its zero-crossing rate is
+    ~2f/rate — the stage must compute real signal math, not metadata."""
+    import ray.data
+
+    from turboxsl_ray.pipelines.multimodal import AudioDecodeStage, encode_wav
+
+    rate, freq, amp, n = 8000, 440.0, 0.5, 8000
+    t = np.arange(n) / rate
+    s = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_wav(s, rate), b"not a wav"], pa.binary()),
+    })
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(AudioDecodeStage, batch_size=None, batch_format="pyarrow",
+                     concurrency=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    good = out.iloc[0]
+    assert bool(good["decoded_ok"])
+    assert abs(good["rms"] - amp / np.sqrt(2)) < 1e-3
+    assert abs(good["zcr"] - 2 * freq / rate) < 5e-3
+    assert abs(good["duration_s"] - 1.0) < 1e-9
+    bad = out.iloc[1]
+    assert not bool(bad["decoded_ok"]) and bad["n_samples"] == 0
+
+
+def test_audio_stats_query_runs(ray_session):
+    from turboxsl_ray.pipelines.multimodal import q_audio_stats
+
+    df = q_audio_stats("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500 and df["decoded_ok"].all()
+    assert (df["duration_s"] > 0).all() and (df["rms"] > 0).all()

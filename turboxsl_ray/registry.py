@@ -607,6 +607,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "ann_ivf": (vectors.q_ann_ivf, None),  # approximate; recall pinned by tests
     # ---- multimodal plumbing ----
     "image_stats": (multimodal.q_image_stats, None),  # real PPM pixel decode; pinned by pytest
+    "audio_stats": (multimodal.q_audio_stats, None),  # real WAV PCM decode; pinned by pytest
     "multimodal_meta": (
         multimodal.q_multimodal_meta,
         f"""SELECT doc_id,
