@@ -85,12 +85,18 @@ def string_length(arr) -> pa.Array:
 
 
 def translate(arr, src: str, dst: str) -> pa.Array:
-    """Char map; chars beyond len(dst) are DELETED (functions.c:711-751)."""
+    """Char map; chars beyond len(dst) are DELETED (functions.c:711-751).
+
+    str.translate is a SIMULTANEOUS map (translate('ab','ba') swaps),
+    so chained Arrow replaces would be wrong; instead dictionary-encode
+    so the Python map touches only the block's DISTINCT values and
+    rows fan back out through a vectorized take."""
     table = str.maketrans(src[: len(dst)], dst, src[len(dst):])
-    vals = as_array(arr).to_pylist()
-    return pa.array(
-        [None if v is None else v.translate(table) for v in vals], type=pa.string()
+    enc = as_array(arr).dictionary_encode()
+    mapped = pa.array(
+        [v.translate(table) for v in enc.dictionary.to_pylist()], type=pa.string()
     )
+    return as_array(pc.take(mapped, enc.indices))
 
 
 def upper(arr) -> pa.Array:
@@ -144,28 +150,26 @@ def string_(arr) -> pa.Array:
 
 
 def url_encode(arr) -> pa.Array:
-    """ltr:url_encode (functions.c:39-52): percent-encode non-safe."""
-    vals = as_array(arr).to_pylist()
-    return pa.array(
-        [None if v is None else urllib.parse.quote(v, safe="") for v in vals],
+    """ltr:url_encode (functions.c:39-52): percent-encode non-safe.
+    Dictionary-encoded: quote() runs once per DISTINCT value."""
+    enc = as_array(arr).dictionary_encode()
+    mapped = pa.array(
+        [urllib.parse.quote(v, safe="") for v in enc.dictionary.to_pylist()],
         type=pa.string(),
     )
+    return as_array(pc.take(mapped, enc.indices))
 
 
 def str_escape_js(arr) -> pa.Array:
     """ltr:str_escape mode=js (functions.c:54-102): backslash-escape
-    quotes/backslashes/newlines."""
-    vals = as_array(arr).to_pylist()
-    out = []
-    for v in vals:
-        if v is None:
-            out.append(None)
-        else:
-            out.append(
-                v.replace("\\", "\\\\").replace("'", "\\'")
-                .replace('"', '\\"').replace("\n", "\\n").replace("\r", "\\r")
-            )
-    return pa.array(out, type=pa.string())
+    quotes/backslashes/newlines. Chained literal Arrow replaces — the
+    backslash pass runs FIRST, exactly like the reference's order, so
+    later passes never double-escape."""
+    out = as_array(arr)
+    for lit, esc in (("\\", "\\\\"), ("'", "\\'"), ('"', '\\"'),
+                     ("\n", "\\n"), ("\r", "\\r")):
+        out = pc.replace_substring(out, lit, esc)
+    return as_array(out)
 
 
 def md5_hex(arr) -> pa.Array:
