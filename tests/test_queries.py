@@ -86,7 +86,7 @@ def test_rows_only_queries_run(ray_session):
     assert set(rows_only) == {
         "minhash_lsh", "simhash", "lang_id", "ann_lsh_buckets", "ann_ivf",
         "approx_distinct_parts", "ngram_jaccard_capped", "image_stats",
-        "winnow_dedup", "approx_quantiles", "heavy_hitters",
+        "winnow_dedup", "approx_quantiles", "heavy_hitters", "audio_stats",
     }
     for name in rows_only:
         df = to_pandas(qs[name](SF_DIR))
