@@ -1357,3 +1357,42 @@ def q_urgent_order_revenue(sf_dir: str, bloom: bool = True) -> Dataset:
         )
 
     return map_partitions(joined, rollup)
+
+
+# per-event_type keep rates expressed as "first md5 hex digit < n/16"
+# (md5 of the row id on BOTH sides, so the oracle is exact and the
+# sample is stable across partitionings, retries, and resumes)
+STRATA_HEX = {"view": 2, "click": 4, "signup": 8, "purchase": 16, "error": 16}
+
+
+def q_stratified_sample(sf_dir: str) -> Dataset:
+    """Stratified deterministic sampling: per-class keep rates (keep
+    all rare purchase/error rows, downsample the bulky view/click
+    classes) — the class-rebalancing pass of a training-data pipeline,
+    as a pure filter (no shuffle, no state, resume-stable)."""
+    import hashlib
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = as_array(pc.cast(t["event_id"], pa.int64())).to_numpy()
+        digit = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        et = as_array(t["event_type"])
+        limit = np.zeros(len(ids), dtype=np.int64)
+        for name, n in STRATA_HEX.items():
+            m = pc.equal(et, name).to_numpy(zero_copy_only=False)
+            limit[m] = n
+        out = t.filter(pa.array(digit < limit))
+        return pa.table(
+            {
+                "event_id": as_array(pc.cast(out["event_id"], pa.int64())),
+                "event_type": as_array(out["event_type"]),
+                "value": as_array(pc.cast(out["value"], pa.float64())),
+            }
+        )
+
+    return map_partitions(ds, sample)

@@ -571,3 +571,39 @@ def q_streaming_window(sf_dir: str) -> Dataset:
         concurrency=2,
     )
     return out
+
+
+def q_conv_text(sf_dir: str) -> Dataset:
+    """Order-sensitive aggregation: concatenate every conversation's
+    turn texts IN TURN ORDER into one training-example string (the
+    string_agg(... ORDER BY) operator class — the reference's
+    document-order serialization of a subtree, output.c:66-140, as a
+    per-group aggregate). Fully vectorized: the sorted block's segment
+    offsets become a zero-copy Arrow ListArray over the text column,
+    one ``binary_join`` emits every conversation's string."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "conv_text": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts = np.flatnonzero(W.segment_starts_from_arrow(t["conv_id"]))
+        offsets = np.append(starts, t.num_rows).astype(np.int32)
+        text = as_array(t["text"])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), text)
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]).take(pa.array(starts)),
+                "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
+                "conv_text": as_array(pc.binary_join(lists, " ")),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "props"]
+    )

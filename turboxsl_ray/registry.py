@@ -57,6 +57,13 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                     AS BIGINT) AS turn_quartile
         FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY COALESCE(value, -1e18))""",
     ),
+    "conv_text": (
+        transcript_features.q_conv_text,
+        f"""{_T}
+        SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+               string_agg(text, ' ' ORDER BY turn_idx) AS conv_text
+        FROM t GROUP BY conv_id""",
+    ),
     "lag_lead": (
         transcript_features.q_lag_lead,
         f"""{_T}
@@ -269,6 +276,18 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   CAST(value AS DOUBLE) AS value
            FROM events
            WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')""",
+    ),
+    "stratified_sample": (
+        relational.q_stratified_sample,
+        """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                  CAST(value AS DOUBLE) AS value
+           FROM events
+           WHERE CASE event_type
+                   WHEN 'view' THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1')
+                   WHEN 'click' THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+                   WHEN 'signup' THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+                   ELSE TRUE
+                 END""",
     ),
     "check_rights": (
         relational.q_check_rights,
