@@ -166,3 +166,26 @@ def test_cc_engine_deep_chain_and_single_shard(ray_session):
 
     with pytest.raises(Exception, match="did not converge"):
         connected_components(pairs, n_shards=2, max_rounds=3)
+
+
+def test_connected_components_deep_chain_pointer_jumping(ray_session):
+    """A 600-node path graph has diameter 600: hash-min alone needs
+    ~600 rounds, pointer jumping must converge in O(log n) — well
+    inside max_rounds=20 — with every node labeled by the chain min."""
+    import ray.data
+
+    from turboxsl_ray.stages.cc import connected_components
+
+    n = 600
+    pairs = pa.table({
+        "doc_a": pa.array(np.arange(n - 1), pa.int64()),
+        "doc_b": pa.array(np.arange(1, n), pa.int64()),
+    })
+    labels = (
+        connected_components(
+            ray.data.from_arrow(pairs).repartition(4), n_shards=4, max_rounds=20
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert len(labels) == n
+    assert (labels["comp"] == 0).all()
