@@ -18,7 +18,10 @@ token stream rather than per-doc scalars (pipelines/text.py):
 - ``q_near_dup_clusters``: connected components over the exact-Jaccard
   near-dup pair graph (pipelines/text.q_ngram_jaccard) via iterative
   distributed min-label propagation — the keep-one-per-cluster endgame
-  of web-scale dedup.
+  of web-scale dedup;
+- ``q_curate_corpus``: the COMPOSED curation pass (exact dedup ->
+  quality gates -> stop-token scrub -> packed output) fused into one
+  digest-keyed exchange — operator fusion demonstrated end-to-end.
 
 All five are oracle-checked against DuckDB (the CC oracle is a
 recursive CTE computing min-reachable-label per node).
@@ -329,3 +332,95 @@ def q_near_dup_clusters(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(out, finish)
+
+
+QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS, QUALITY_MAX_PUNCT = 5, 2000, 0.1
+
+_CURATE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_copies", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("clean_text", pa.string()),
+    ]
+)
+
+
+def q_curate_corpus(sf_dir: str) -> Dataset:
+    """The composed curation pass a training-data pipeline actually
+    runs: exact dedup -> quality gates -> stop-token scrub -> packed
+    output, as ONE physical plan. Everything after the dedup exchange
+    rides the same block: the digest shuffle is the only data
+    movement, the gates and the scrub are free riders on the deduped
+    block (operator FUSION is the point — running dedup_exact,
+    quality_score, and scrub as separate queries would scan and
+    shuffle the corpus three times)."""
+    from turboxsl_ray.pipelines.text import _docs_path, stable_hash64
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def add_digest(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__h", pa.array(stable_hash64(t["text"]).astype(np.int64))
+        )
+
+    parts = partition_by_conv(
+        map_partitions(ds, add_digest),
+        partitions_for_input(f"{sf_dir}/documents.parquet"),
+        keys=["__h"],
+    )
+
+    def curate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CURATE_SCHEMA.empty_table()
+        # 1. dedup: keep min doc_id per exact text, count copies
+        g = t.select(["doc_id", "text"]).group_by("text", use_threads=False).aggregate(
+            [("doc_id", "min"), ([], "count_all")]
+        )
+        text = g["text"]
+        # 2. quality gates (same expressions as q_quality_score)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, r"[.!?,]"), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        trimmed = pc.utf8_trim_whitespace(text)
+        n_tokens = (
+            pc.cast(pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ratio = np.round(
+            np.divide(n_punct, n_chars, out=np.zeros_like(n_punct), where=n_chars > 0),
+            6,
+        )
+        keep = (
+            (n_tokens >= QUALITY_MIN_TOKENS)
+            & (n_tokens <= QUALITY_MAX_TOKENS)
+            & (ratio < QUALITY_MAX_PUNCT)
+        )
+        g = pa.table(
+            {
+                "doc_id": as_array(pc.cast(g["doc_id_min"], pa.int64())),
+                "n_copies": as_array(pc.cast(g["count_all"], pa.int64())),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "text": as_array(text),
+            }
+        ).filter(pa.array(keep))
+        # 3. scrub survivors only (cheapest last: fewest rows)
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(g["text"], STOP_TOKEN_RE, ""), r"\s+", " "
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_copies": g["n_copies"],
+                "n_tokens": g["n_tokens"],
+                "clean_text": as_array(clean),
+            },
+            schema=_CURATE_SCHEMA,
+        )
+
+    return map_partitions(parts, curate)

@@ -555,6 +555,24 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                    CAST(len(regexp_extract_all(text, '{corpus.STOP_TOKEN_RE}')) AS BIGINT) AS n_stop
             FROM documents""",
     ),
+    "curate_corpus": (
+        corpus.q_curate_corpus,
+        f"""WITH d AS (SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+                       FROM documents GROUP BY text),
+             q AS (SELECT doc_id, n_copies, text,
+                          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                          ROUND((length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')))
+                                * 1.0 / length(text), 6) AS pr
+                   FROM d)
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(n_copies AS BIGINT) AS n_copies,
+                  CAST(n_tokens AS BIGINT) AS n_tokens,
+                  trim(regexp_replace(regexp_replace(text, '{corpus.STOP_TOKEN_RE}', '', 'g'),
+                       '\\s+', ' ', 'g')) AS clean_text
+           FROM q
+           WHERE n_tokens BETWEEN {corpus.QUALITY_MIN_TOKENS} AND {corpus.QUALITY_MAX_TOKENS}
+             AND pr < {corpus.QUALITY_MAX_PUNCT}""",
+    ),
     "near_dup_clusters": (
         corpus.q_near_dup_clusters,
         f"""WITH RECURSIVE {_WORDS_CTE},
