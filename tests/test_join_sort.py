@@ -225,3 +225,21 @@ def test_urgent_order_revenue_bloom_parity(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_hot_keys_rejects_left_block_prep(ray_session):
+    """Salting spreads a key's left rows over buckets, so a fused
+    block-local left op would silently lose its whole-key guarantee —
+    the combination must refuse loudly."""
+    import pyarrow as pa
+    import ray.data
+
+    from turboxsl_ray.stages.join import copartition_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1.0])})
+    u = pa.table({"k": pa.array([1], pa.int64()), "w": pa.array([2.0])})
+    with pytest.raises(ValueError, match="left_block_prep"):
+        copartition_join(
+            ray.data.from_arrow(t), ray.data.from_arrow(u), on="k",
+            hot_keys={1: 2}, left_block_prep=lambda x: x,
+        )

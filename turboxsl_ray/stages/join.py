@@ -68,6 +68,12 @@ def copartition_join(
     the caller bounds by only salting keys above its threshold."""
     if how not in ("inner", "left", "full"):
         raise ValueError(f"unsupported join type {how!r}")
+    if hot_keys and left_block_prep is not None:
+        # a fused left-block op (e.g. block-local distinct keyed on
+        # ``on``) assumes a block holds ALL left rows of its keys;
+        # salting spreads a hot key's rows across buckets and silently
+        # breaks that assumption — refuse instead
+        raise ValueError("hot_keys salting cannot be combined with left_block_prep")
     if how == "full" and bloom_prune_right:
         raise ValueError("bloom_prune_right would drop full-outer right rows")
     if how == "full" and hot_keys:
