@@ -424,3 +424,199 @@ def q_curate_corpus(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(parts, curate)
+
+
+_LM_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_bigrams", pa.int64()), ("lm_score", pa.float64())]
+)
+
+# composite bigram key separator: unit separator \x1f — NUL is unusable
+# here because numpy's fixed-width unicode arrays treat trailing NULs as
+# padding and silently drop them
+_SEP = "\x1f"
+
+
+def q_lm_score(sf_dir: str) -> Dataset:
+    """Bigram-LM quality scoring (the CCNet-style LM filter): every
+    document scored by the mean log-probability of its bigrams under
+    the corpus's own MLE bigram model, score = avg ln(C(w1,w2)/C(w1)).
+
+    Scale-honest plan — count tables are wordcount-shaped (per-block
+    partials, ONE keyed exchange each), never broadcast (bigram vocab
+    at web scale is billions of rows):
+    1. per-block partial bigram counts -> bigram-keyed combine (C2);
+    2. per-block partial unigram counts -> token-keyed combine (C1);
+    3. C2 joins C1 by w1 (count-table x count-table, vocab-scale)
+       producing the log-prob table bigram -> ln(c2/c1);
+    4. bigram INSTANCES join the lp table through one co-partitioned
+       exchange (the only instance-scale shuffle);
+    5. per-block partial (doc, sum_lp, n) -> doc-keyed combine.
+    Documents with <2 tokens have no bigrams and are absent, exactly
+    like the SQL oracle."""
+    from turboxsl_ray.stages.join import copartition_join
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+
+    def bigram_instances(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("bg", pa.string()), ("w1", pa.string())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        ids, lens, flat = _token_lists(t)
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) == 0:
+            return empty
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        # mask out the cross-document seam: last token of each doc has
+        # no following bigram
+        keep = np.ones(len(toks), dtype=bool)
+        keep[np.cumsum(lens) - 1] = False
+        w1 = toks[:-1][keep[:-1]]
+        w2 = toks[1:][keep[:-1]]
+        doc = np.repeat(ids, lens)[:-1][keep[:-1]]
+        bg = np.char.add(np.char.add(w1.astype(str), _SEP), w2.astype(str))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "bg": pa.array(bg, type=pa.string()),
+                "w1": pa.array(w1, type=pa.string()),
+            }
+        )
+
+    instances = map_partitions(ds, bigram_instances)
+
+    def _counts(src: Dataset, key: str, out: str) -> Dataset:
+        schema = pa.schema([(key, pa.string()), (out, pa.int64())])
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            g = t.select([key]).group_by(key, use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table(
+                {key: as_array(g[key]),
+                 out: as_array(pc.cast(g["count_all"], pa.int64()))},
+                schema=schema,
+            )
+
+        parts = partition_by_conv(
+            map_partitions(src, partial),
+            partitions_for_input(docs_path, factor=2.0),
+            keys=[key],
+        )
+
+        def final(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            g = t.group_by(key, use_threads=False).aggregate([(out, "sum")])
+            return pa.table(
+                {key: as_array(g[key]),
+                 out: as_array(pc.cast(g[f"{out}_sum"], pa.int64()))},
+                schema=schema,
+            )
+
+        return map_partitions(parts, final)
+
+    # C2 keyed by the composite bigram string; keep w1 for the C1 join
+    c2 = _counts(instances, "bg", "c2")
+
+    def re_split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("bg", pa.string()), ("c2", pa.int64()), ("w1", pa.string())]
+            ).empty_table()
+        w1 = pc.list_element(pc.split_pattern(t["bg"], _SEP, max_splits=1), 0)
+        return t.append_column("w1", as_array(w1))
+
+    c2 = map_partitions(c2, re_split)
+    # unigram counts over ALL token instances (including doc-final
+    # tokens): project w1 from instances PLUS the dropped seam tokens…
+    # simpler and oracle-identical: recount from the token stream
+    toks = map_partitions(
+        ds,
+        lambda t: pa.table(
+            {"w1": _token_lists(t)[2]}
+        ) if t.num_rows else pa.schema([("w1", pa.string())]).empty_table(),
+    )
+    c1 = _counts(toks, "w1", "c1")
+
+    lp_tbl = copartition_join(
+        c2,
+        c1,
+        on="w1",
+        how="inner",
+        num_partitions=partitions_for_input(docs_path, factor=2.0),
+        left_schema=pa.schema(
+            [("bg", pa.string()), ("c2", pa.int64()), ("w1", pa.string())]
+        ),
+        right_schema=pa.schema([("w1", pa.string()), ("c1", pa.int64())]),
+    )
+
+    def to_lp(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("bg", pa.string()), ("lp", pa.float64())])
+        if t.num_rows == 0 or "bg" not in t.column_names:
+            return schema.empty_table()
+        c2v = as_array(t["c2"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        c1v = as_array(t["c1"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"bg": as_array(t["bg"]), "lp": pa.array(np.log(c2v / c1v))},
+            schema=schema,
+        )
+
+    lp = map_partitions(lp_tbl, to_lp)
+
+    scored = copartition_join(
+        lp,
+        map_partitions(instances, lambda t: t.select(["bg", "doc_id"])),
+        on="bg",
+        how="inner",
+        num_partitions=partitions_for_input(docs_path, factor=4.0),
+        left_schema=pa.schema([("bg", pa.string()), ("lp", pa.float64())]),
+        right_schema=pa.schema([("bg", pa.string()), ("doc_id", pa.int64())]),
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("s", pa.float64()), ("n", pa.int64())]
+        )
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return schema.empty_table()
+        g = t.group_by("doc_id", use_threads=False).aggregate(
+            [("lp", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "doc_id": as_array(pc.cast(g["doc_id"], pa.int64())),
+                "s": as_array(pc.cast(g["lp_sum"], pa.float64())),
+                "n": as_array(pc.cast(g["count_all"], pa.int64())),
+            },
+            schema=schema,
+        )
+
+    parts = partition_by_conv(
+        map_partitions(scored, doc_partial),
+        partitions_for_input(docs_path, factor=1.0),
+        keys=["doc_id"],
+    )
+
+    def doc_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LM_SCHEMA.empty_table()
+        g = t.group_by("doc_id", use_threads=False).aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+        s = as_array(g["s_sum"]).to_numpy(zero_copy_only=False)
+        n = as_array(pc.cast(g["n_sum"], pa.int64())).to_numpy()
+        return pa.table(
+            {
+                "doc_id": as_array(pc.cast(g["doc_id"], pa.int64())),
+                "n_bigrams": pa.array(n),
+                "lm_score": pa.array(np.round(s / n, 6)),
+            },
+            schema=_LM_SCHEMA,
+        )
+
+    return map_partitions(parts, doc_final)

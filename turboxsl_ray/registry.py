@@ -555,6 +555,23 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                    CAST(len(regexp_extract_all(text, '{corpus.STOP_TOKEN_RE}')) AS BIGINT) AS n_stop
             FROM documents""",
     ),
+    "lm_score": (
+        corpus.q_lm_score,
+        f"""WITH {_WORDS_CTE},
+             tok AS (SELECT ws[i] AS w FROM words, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+             big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                     FROM words, UNNEST(range(1, len(ws))) AS u(i)),
+             c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+             c2 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+             scored AS (SELECT b.doc_id, ln(c2.c * 1.0 / c1.c) AS lp
+                        FROM big b
+                        JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+                        JOIN c1 ON b.w1 = c1.w)
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(ROUND(AVG(lp), 6) AS DOUBLE) AS lm_score
+           FROM scored GROUP BY doc_id""",
+    ),
     "curate_corpus": (
         corpus.q_curate_corpus,
         f"""WITH d AS (SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
