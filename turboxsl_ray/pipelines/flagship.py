@@ -526,6 +526,12 @@ def run_flagship(
                     "byte_size": sub.nbytes,
                     "salted_rows": int(salted_row[sel].sum()),
                 },
+                # out-of-band comment/PI analog: provenance rides the
+                # parquet footer, not the row data (instructions.c:467-478)
+                annotations={
+                    "comment:0": "generated by turboxsl_ray flagship",
+                    "pi:config": fp,
+                },
             )
             summary_rows.append(
                 {PART_COL: int(pid), "rows_written": rec["row_count"],

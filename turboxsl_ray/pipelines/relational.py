@@ -517,6 +517,41 @@ def q_props_extract(sf_dir: str) -> Dataset:
     return map_partitions(ds, fn)
 
 
+def q_props_json(sf_dir: str) -> "pd.DataFrame":
+    """Full ``exsl:node-set`` analog (functions.c:1084-1099): parse the
+    serialized payload column into a genuine Arrow **struct** column
+    with the vectorized C++ JSON reader (one parse per block, no
+    per-row loop), navigate it with child-axis field access
+    (``pc.struct_field``), then aggregate over the extracted values.
+    Distinct from q_props_extract, which regex-scrapes one field: here
+    the whole payload becomes typed nested data first."""
+    from turboxsl_ray.functions.nested import parse_json_struct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    schema = pa.schema([("k", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        st = parse_json_struct(t["props"], explicit_schema=schema)
+        k = pc.struct_field(st, "k")
+        return pa.table(
+            {
+                "event_type": as_array(t["event_type"]),
+                "k_mod": as_array(pc.cast(pc.subtract(k, pc.multiply(pc.divide(k, 10), 10)), pa.int64())),
+                "k": as_array(k),
+            }
+        )
+
+    from turboxsl_ray.stages.aggregate import groupby_small
+
+    agg = groupby_small(
+        map_partitions(ds, prep),
+        keys=["event_type", "k_mod"],
+        specs={"n": (None, "count"), "sum_k": ("k", "sum"), "max_k": ("k", "max")},
+        int_cols=("n", "sum_k", "max_k"),
+    )
+    return agg.sort_values(["event_type", "k_mod"]).reset_index(drop=True)
+
+
 def q_union_streams(sf_dir: str) -> Dataset:
     """Stream union (xsl selection union '|', xpath.c:600-619 — concat
     without dedup): click events ∪ purchase events as one Dataset."""

@@ -335,6 +335,16 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                        ELSE 'low' END AS k_bucket
            FROM events""",
     ),
+    "props_json": (
+        relational.q_props_json,
+        """SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           FROM events GROUP BY event_type, k_mod
+           ORDER BY event_type, k_mod""",
+    ),
     "union_streams": (
         relational.q_union_streams,
         """SELECT event_id, event_type, value FROM events WHERE event_type = 'click'

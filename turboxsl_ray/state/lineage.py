@@ -50,12 +50,24 @@ def write_partition(
     input_id: str = "",
     config_fingerprint: str = "",
     extra: dict[str, Any] | None = None,
+    annotations: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Write one partition's rows + its lineage record (atomically:
     data file first, then manifest via tmp+rename). Returns the record.
+
+    ``annotations`` is the ``xsl:comment`` / ``xsl:processing-
+    instruction`` analog (ref instructions.c:467-478): out-of-band
+    key→value strings that ride the parquet file's key-value metadata
+    — part of the output artifact, never part of the row data. Any
+    parquet reader (including DuckDB's ``parquet_kv_metadata``) can
+    surface them; see ``read_annotations``.
     """
     dpath = data_path(out_dir, part_id)
     tmp = dpath + ".tmp"
+    if annotations:
+        meta = dict(tbl.schema.metadata or {})
+        meta.update({k.encode(): v.encode() for k, v in annotations.items()})
+        tbl = tbl.replace_schema_metadata(meta)
     pq.write_table(tbl, tmp)
     os.replace(tmp, dpath)
 
@@ -83,6 +95,18 @@ def write_partition(
         json.dump(record, f)
     os.replace(tmpm, mpath)
     return record
+
+
+def read_annotations(path: str) -> dict[str, str]:
+    """Read back the out-of-band comment/PI annotations from a parquet
+    file's key-value metadata (footer only — no row data is read)."""
+    meta = pq.read_schema(path).metadata or {}
+    out: dict[str, str] = {}
+    for k, v in meta.items():
+        ks = k.decode(errors="replace")
+        if ks.startswith(("comment:", "pi:")):
+            out[ks] = v.decode(errors="replace")
+    return out
 
 
 def write_run_record(out_dir: str, record: dict[str, Any]) -> None:
