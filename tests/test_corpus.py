@@ -189,3 +189,45 @@ def test_connected_components_deep_chain_pointer_jumping(ray_session):
     )
     assert len(labels) == n
     assert (labels["comp"] == 0).all()
+
+
+def test_repetition_signals_on_crafted_docs(tmp_path):
+    """Pin the Gopher-style repetition metric semantics on hand-checked
+    documents (the oracle pins parity; this pins meaning)."""
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines.corpus import q_repetition
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # "a b" occurs 3x in 6 tokens -> top2 = 2*3/6 = 1.0;
+                    # 5-grams: "a b a b a", "b a b a b" distinct -> dup 0
+                    "a b a b a b",
+                    # one token repeated: overlapping "x x" 5x -> clamp 1.0;
+                    # 5-grams: 2 total, 1 distinct -> dup 0.5
+                    "x x x x x x",
+                    # no repeated 2-gram: top2 = 2*1/5 = 0.4; <5 tokens? no:
+                    # 5 tokens -> one 5-gram, distinct -> dup 0
+                    "v w y z q",
+                    # short doc: no 2-grams, no 5-grams
+                    "solo",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "repdocs"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = (
+        q_repetition(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [6, 6, 5, 1]
+    assert out["top_2gram_frac"].tolist() == [1.0, 1.0, 0.4, 0.0]
+    assert out["dup_5gram_frac"].tolist() == [0.0, 0.5, 0.0, 0.0]

@@ -620,3 +620,97 @@ def q_lm_score(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(parts, doc_final)
+
+
+_REP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("top_2gram_frac", pa.float64()),
+        ("dup_5gram_frac", pa.float64()),
+    ]
+)
+
+
+def q_repetition(sf_dir: str) -> Dataset:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the public "repetitious text" filters) per document:
+
+    - ``top_2gram_frac``: fraction of tokens covered by occurrences of
+      the single most frequent word 2-gram (2 * max count / n_tokens);
+    - ``dup_5gram_frac``: fraction of word 5-grams that are repeats of
+      an earlier 5-gram in the same document (1 - distinct/total).
+
+    Fully vectorized per block: n-grams are built by slicing the flat
+    token stream against itself (a gram is valid when its first and
+    last token share a row), per-(row, gram) counts come from one Arrow
+    hash aggregate, and per-row maxima/distinct counts from a second
+    tiny aggregate — no Python loop touches tokens. A document never
+    spans blocks (one row = one document), so everything is
+    block-local: zero shuffle, embarrassingly parallel at 100 TB."""
+    ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+
+    def grams(flat: pa.Array, row: np.ndarray, k: int):
+        """(row_idx, gram string) for all k-grams that stay in-row."""
+        n = len(row)
+        if n < k:
+            return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+        valid = row[: n - k + 1] == row[k - 1 :]
+        vmask = pa.array(valid)
+        pieces = [flat.slice(j, n - k + 1).filter(vmask) for j in range(k)]
+        joined = pc.binary_join_element_wise(*pieces, " ")
+        return row[: n - k + 1][valid], joined
+
+    def per_row_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _REP_SCHEMA.empty_table()
+        ids, lens, flat = _token_lists(t)
+        nrows = len(lens)
+        row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+
+        def counts(k: int) -> pa.Table:
+            r, g = grams(flat, row, k)
+            tb = pa.table({"r": pa.array(r), "g": g})
+            return tb.group_by(["r", "g"], use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+
+        # top 2-gram count per row
+        c2 = counts(2)
+        top2 = np.zeros(nrows, dtype=np.int64)
+        if c2.num_rows:
+            m2 = c2.group_by("r", use_threads=False).aggregate(
+                [("count_all", "max")]
+            )
+            top2[as_array(m2["r"]).to_numpy()] = as_array(
+                pc.cast(m2["count_all_max"], pa.int64())
+            ).to_numpy()
+
+        # distinct vs total 5-grams per row
+        c5 = counts(5)
+        uniq5 = np.zeros(nrows, dtype=np.int64)
+        tot5 = np.zeros(nrows, dtype=np.int64)
+        if c5.num_rows:
+            d5 = c5.group_by("r", use_threads=False).aggregate(
+                [("count_all", "sum"), ([], "count_all")]
+            )
+            rr = as_array(d5["r"]).to_numpy()
+            tot5[rr] = as_array(pc.cast(d5["count_all_sum"], pa.int64())).to_numpy()
+            uniq5[rr] = as_array(pc.cast(d5["count_all"], pa.int64())).to_numpy()
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # overlapping occurrences ("x x x x") can push 2*count past
+            # n_tokens — clamp to the [0, 1] a coverage fraction means
+            top2_frac = np.minimum(np.where(lens >= 2, 2.0 * top2 / lens, 0.0), 1.0)
+            dup5_frac = np.where(tot5 > 0, 1.0 - uniq5 / np.maximum(tot5, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(lens),
+                "top_2gram_frac": pa.array(np.round(top2_frac, 6)),
+                "dup_5gram_frac": pa.array(np.round(dup5_frac, 6)),
+            },
+            schema=_REP_SCHEMA,
+        )
+
+    return map_partitions(ds, per_row_stats)

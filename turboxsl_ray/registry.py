@@ -582,6 +582,29 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   CAST(ROUND(AVG(lp), 6) AS DOUBLE) AS lm_score
            FROM scored GROUP BY doc_id""",
     ),
+    "repetition": (
+        corpus.q_repetition,
+        r"""WITH ws AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+              FROM ws WHERE len(w) >= 2
+            ),
+            c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+            m2 AS (SELECT doc_id, MAX(c) AS mx FROM c2 GROUP BY 1),
+            g5 AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+              FROM ws WHERE len(w) >= 5
+            ),
+            d5 AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS uniq FROM g5 GROUP BY 1)
+           SELECT ws.doc_id,
+                  CAST(len(w) AS BIGINT) AS n_tokens,
+                  ROUND(LEAST(COALESCE(2.0 * m2.mx / len(w), 0), 1.0), 6) AS top_2gram_frac,
+                  ROUND(COALESCE(1.0 - uniq * 1.0 / total, 0), 6) AS dup_5gram_frac
+           FROM ws LEFT JOIN m2 USING (doc_id) LEFT JOIN d5 USING (doc_id)""",
+    ),
     "curate_corpus": (
         corpus.q_curate_corpus,
         f"""WITH d AS (SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
