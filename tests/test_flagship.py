@@ -309,3 +309,40 @@ def test_resume_skips_done_and_is_identical(ray_session, small_tables, tmp_path_
 
     a, b = _read_out(full_dir), _read_out(part_dir)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_conv_counts_distributed_combine_matches_driver_combine(ray_session):
+    """When the pigeonhole floor degenerates to 0 (scan spans more
+    blocks than min_total — the 100 TB shape), conv_counts must switch
+    to the hash-exchange combine of partial counts and return exactly
+    the same mega set + totals as exact per-conv counting."""
+    import ray.data as rd
+
+    from turboxsl_ray.stages.salting import conv_counts
+
+    left_tbl = synth_transcripts(
+        n_convs=30, mean_turns=10, seed=71, mega_frac=0.4, max_turns=300
+    )
+    ds = rd.from_arrow(left_tbl).repartition(8)
+
+    # exact ground truth on the driver
+    import collections
+
+    true_counts = collections.Counter(left_tbl["conv_id"].to_pylist())
+    min_total = 50
+    expected = {c: n for c, n in true_counts.items() if n > min_total}
+
+    # blocks_hint >> min_total forces floor == 0 -> distributed path
+    got = conv_counts(ds, min_total=min_total, blocks_hint=10**6)
+    assert got == expected
+
+    # the floored driver path selects a SUBSET (undercount may drop
+    # barely-over-threshold convs — documented selection-only
+    # contract); anything comfortably over the threshold must survive
+    got_floored = conv_counts(ds, min_total=min_total, blocks_hint=8)
+    assert set(got_floored) <= set(expected)
+    floor = min_total // 8
+    comfortably = {
+        c for c, n in true_counts.items() if n > min_total + floor * 8
+    }
+    assert comfortably <= set(got_floored)

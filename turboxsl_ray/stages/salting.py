@@ -89,6 +89,33 @@ def conv_counts(
     partials = ds.select_columns([key]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
+
+    if floor == 0 and min_total is not None:
+        # keep-all mode (floor degenerated because the scan spans more
+        # blocks than min_total): the per-block partials now carry
+        # EVERY conversation, so a driver-side concat would receive
+        # distinct-convs x blocks rows — the 100 TB failure mode. Push
+        # the combine through ONE hash exchange of the partial counts
+        # (never the full rows); only the mega survivors reach the
+        # driver.
+        import pyarrow.compute as pc
+
+        from turboxsl_ray.stages.partitioning import (
+            map_partitions,
+            partition_by_conv,
+        )
+
+        shuffled = partition_by_conv(partials, 16, keys=[key])
+
+        def combine(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            g = t.group_by(key).aggregate([("n", "sum")])
+            return g.filter(pc.greater(g["n_sum"], int(min_total)))
+
+        rows = map_partitions(shuffled, combine).take_all()
+        return {r[key]: int(r["n_sum"]) for r in rows}
+
     from turboxsl_ray.stages.aggregate import collect_tables
 
     tables = [t for t in collect_tables(partials) if t.num_rows]
@@ -96,8 +123,7 @@ def conv_counts(
         return {}
     # Arrow hash-aggregate combine (vectorized), not a Python dict loop:
     # with a floor the partials hold only mega-candidate convs, so this
-    # is tiny; in keep-all mode it is one group_by over per-block
-    # partials (distinct convs x blocks worst case, never full rows).
+    # is tiny (mega candidates x blocks worst case, never full rows).
     g = pa.concat_tables(tables).group_by(key).aggregate([("n", "sum")])
     if min_total is not None:
         import pyarrow.compute as pc
