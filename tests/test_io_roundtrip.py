@@ -58,3 +58,34 @@ def test_parquet_roundtrip_through_pipeline(ray_session, small_tbl, tmp_path):
     io.write_parquet(ds, d)
     back = io.read_parquet(d).to_pandas()
     assert (back.sort_values("a")["d"].to_numpy() == [3.0, 5.0, 7.0]).all()
+
+
+def test_schema_contract_validation(tmp_path):
+    """read_parquet(expect=) fails fast on the driver — naming every
+    missing/mistyped column — before any cluster read launches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from turboxsl_ray.sources.io import read_parquet, validate_schema
+    from turboxsl_ray.sources.transcripts import TRANSCRIPT_SCHEMA, synth_transcripts
+
+    good = tmp_path / "good.parquet"
+    pq.write_table(synth_transcripts(n_convs=3, mean_turns=4, seed=7), str(good))
+    ds = read_parquet(str(good), expect=TRANSCRIPT_SCHEMA)
+    assert ds.count() > 0
+
+    bad = tmp_path / "bad.parquet"
+    pq.write_table(
+        pa.table({"conv_id": pa.array([1, 2], pa.int64()),  # wrong type
+                  "role": pa.array(["u", "a"])}),            # missing the rest
+        str(bad),
+    )
+    with pytest.raises(ValueError) as ei:
+        read_parquet(str(bad), expect=TRANSCRIPT_SCHEMA)
+    msg = str(ei.value)
+    assert "conv_id" in msg and "turn_idx" in msg and "expected string" in msg
+
+    # extra columns are fine (projection prunes them)
+    extra = pa.schema([("conv_id", pa.string())])
+    validate_schema(TRANSCRIPT_SCHEMA, extra)
