@@ -152,7 +152,11 @@ def run_headline(num_cpus: int, n_convs: int) -> dict:
     left_d, right_d = synth_input_dir(n_convs)
     _init_ray(num_cpus)
     _warmup()
-    left = ray.data.read_parquet(left_d)
+    # contract-validating read: fails fast (driver-side, footer-only)
+    # if the input doesn't match the transcript schema the engine expects
+    from turboxsl_ray.sources.io import read_transcripts
+
+    left = read_transcripts(left_d)
     right = ray.data.read_parquet(right_d)
     import shutil
 
