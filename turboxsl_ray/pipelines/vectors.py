@@ -364,11 +364,27 @@ def _kmeans_partial(t: pa.Table, cents: np.ndarray) -> pa.Table:
     )
 
 
-def train_centroids(sf_dir: str, k: int = IVF_CENTROIDS, iters: int = IVF_ITERS) -> np.ndarray:
+TRAIN_SAMPLE_CAP = 65_536
+
+
+def train_centroids(
+    sf_dir: str,
+    k: int = IVF_CENTROIDS,
+    iters: int = IVF_ITERS,
+    sample_cap: int = TRAIN_SAMPLE_CAP,
+    tol: float = 1e-4,
+) -> np.ndarray:
     """Distributed Lloyd iterations: per-block partial sums + tiny
     driver combine per round (the data never leaves the workers).
     Deterministic: init = the first k vectors by vec_id, cosine metric
-    (centroids renormalized each round)."""
+    (centroids renormalized each round).
+
+    Scale shape: training runs over a bounded DETERMINISTIC hash
+    sample (<= ``sample_cap`` expected rows) materialized ONCE — the
+    100 TB path never re-scans the full table per Lloyd round; only
+    the single final assignment pass (in the caller) touches every
+    vector. Rounds early-stop when the max centroid movement drops
+    below ``tol`` (k-means converges in 2-3 rounds at k=16)."""
     import pyarrow.parquet as pq
 
     from turboxsl_ray.stages.aggregate import broadcast, collect_tables
@@ -388,11 +404,31 @@ def train_centroids(sf_dir: str, k: int = IVF_CENTROIDS, iters: int = IVF_ITERS)
         )
     _ids, cents = _block_matrix(init)
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    # footer-only row count -> deterministic hash-sample fraction
+    n_total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    ds = read_embeddings(sf_dir)
+    if n_total > sample_cap:
+        thresh = np.uint64(
+            int(sample_cap / n_total * float(np.iinfo(np.uint64).max))
+        )
+
+        def hash_sample(t: pa.Table) -> pa.Table:
+            from turboxsl_ray.kernels.hashing import stable_hash64
+
+            h = stable_hash64(pc.cast(t["vec_id"], pa.int64()))
+            return t.filter(pa.array(h <= thresh))
+
+        ds = map_partitions(ds, hash_sample)
+    # bounded sample: materializing it is a small-result collect, not
+    # a full-dataset materialization; every Lloyd round re-reads these
+    # object-store blocks instead of re-scanning parquet
+    sample = ds.materialize()
+
     for _ in range(iters):
         ref = broadcast(cents)
-        ds = read_embeddings(sf_dir)
         partials = map_partitions(
-            ds, lambda t: _kmeans_partial(t, ray.get(ref))
+            sample, lambda t: _kmeans_partial(t, ray.get(ref))
         )
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
@@ -402,9 +438,12 @@ def train_centroids(sf_dir: str, k: int = IVF_CENTROIDS, iters: int = IVF_ITERS)
             vs = np.array(tbl["vsum"].to_pylist())
             sums[cid] += vs
         nz = counts > 0
+        prev = cents
         cents = cents.copy()
         cents[nz] = sums[nz] / counts[nz, None]
         cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        if float(np.abs(cents - prev).max()) < tol:
+            break
     return cents
 
 
