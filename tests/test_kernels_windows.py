@@ -178,3 +178,50 @@ def test_rank_ntile_kernels_match_duckdb_windows():
         assert np.allclose(o["p"].to_numpy(), p), trial
         assert np.allclose(o["c"].to_numpy(), c), trial
         assert (o["nt"].to_numpy() == nt).all(), trial
+
+
+def test_rolling_range_matches_brute_force():
+    """Time-window bounds vs per-row brute force, with ts ties (RANGE
+    peers must be included) and multiple segments; fast composite-key
+    path and the overflow per-segment fallback must agree."""
+    from turboxsl_ray.kernels import windows as W
+
+    rng = np.random.default_rng(5)
+    segs = []
+    ts = []
+    for s in range(12):
+        n = int(rng.integers(1, 40))
+        # coarse grid -> plenty of exact ties within a segment
+        t = np.sort(rng.integers(0, 50, size=n)) * 10
+        segs += [s] * n
+        ts.append(t)
+    seg = np.array(segs)
+    ts_us = np.concatenate(ts).astype(np.int64)
+    starts = W.segment_starts(seg)
+    vals = rng.normal(size=len(seg))
+    window = 70
+
+    lo, hi = W.rolling_range_bounds(starts, ts_us, window)
+    sums, counts = W.rolling_range_sum_count(starts, ts_us, vals, window)
+
+    seg_first = W.segment_first_index(starts)
+    for i in range(len(seg)):
+        in_win = (
+            (seg == seg[i])
+            & (ts_us >= ts_us[i] - window)
+            & (ts_us <= ts_us[i])  # peers AFTER row i included (RANGE)
+        )
+        assert counts[i] == in_win.sum()
+        np.testing.assert_allclose(sums[i], vals[in_win].sum(), rtol=1e-12)
+        assert lo[i] >= seg_first[i]
+
+    # the overflow fallback (per-segment loop) must agree with the
+    # composite-key path: a 2**61 window overflows n_segs * stride
+    lo2, hi2 = W.rolling_range_bounds(starts, ts_us, 2**61)
+    assert (lo2 == seg_first).all()  # whole segment is always in-window
+    s2, c2 = W.rolling_range_sum_count(starts, ts_us, vals, 2**61)
+    # hi2 must include all peers; counts equal rows up to last peer
+    for i in range(len(seg)):
+        in_win = (seg == seg[i]) & (ts_us <= ts_us[i])
+        assert c2[i] == in_win.sum()
+        np.testing.assert_allclose(s2[i], vals[in_win].sum(), rtol=1e-12)

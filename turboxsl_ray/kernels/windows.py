@@ -308,3 +308,60 @@ def ntile_in_segments(starts: np.ndarray, k: int) -> np.ndarray:
     big = np.maximum(q + 1, 1)
     small = np.maximum(q, 1)
     return np.where(i < cut, i // big + 1, r + (i - cut) // small + 1).astype(np.int64)
+
+
+def rolling_range_bounds(
+    starts: np.ndarray, ts_us: np.ndarray, window_us: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) row-index bounds of the trailing TIME window
+    ``[ts_i - window_us, ts_i]`` within each segment — SQL ``RANGE
+    BETWEEN INTERVAL w PRECEDING AND CURRENT ROW`` semantics, i.e.
+    rows tied with the current row's ts (peers) are INCLUDED even when
+    they sort after it.
+
+    Requires ``ts_us`` nondecreasing within each segment (the engine's
+    standard (conv, ts, turn) sort). Fully vectorized: segments are
+    flattened onto one strictly-segment-increasing key line
+    (seg_id * stride + ts_rel) so ONE pair of global searchsorted
+    calls answers every row; falls back to a per-segment loop only if
+    the composite key would overflow int64 (absurd spans)."""
+    n = len(ts_us)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    seg_first = segment_first_index(starts)
+    seg_id = np.cumsum(starts) - 1
+    ts_rel = ts_us - ts_us[seg_first]
+    n_segs = int(seg_id[-1]) + 1
+    span = int(ts_rel.max()) if n else 0
+    stride = span + int(window_us) + 2
+    if n_segs * stride < 2**62:
+        key = seg_id * stride + ts_rel
+        lo = np.searchsorted(key, seg_id * stride + np.maximum(ts_rel - window_us, 0), side="left")
+        hi = np.searchsorted(key, seg_id * stride + ts_rel, side="right")
+        return lo.astype(np.int64), hi.astype(np.int64)
+    # overflow fallback: per-segment two-pointer
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    bounds = np.append(np.flatnonzero(starts), n)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        seg = ts_us[s:e]
+        lo[s:e] = s + np.searchsorted(seg, seg - window_us, side="left")
+        hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+    return lo, hi
+
+
+def rolling_range_sum_count(
+    starts: np.ndarray,
+    ts_us: np.ndarray,
+    values: np.ndarray,
+    window_us: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Trailing time-window (sum, row count) per row within segment
+    (NaNs sum as 0; count is COUNT(*) — every in-window row)."""
+    lo, hi = rolling_range_bounds(starts, ts_us, window_us)
+    v = np.nan_to_num(values.astype(np.float64, copy=False), nan=0.0)
+    cs = _padded_cumsum(v)
+    sums = cs[hi] - cs[lo]
+    counts = (hi - lo).astype(np.int64)
+    return sums, counts

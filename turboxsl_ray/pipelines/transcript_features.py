@@ -292,6 +292,39 @@ def q_rolling(sf_dir: str) -> Dataset:
     )
 
 
+ROLL_WINDOW_US = 30 * 60 * 1_000_000  # trailing 30-minute time window
+
+
+def q_rolling_time(sf_dir: str) -> Dataset:
+    """Trailing TIME-window aggregate within conversation: sum/count of
+    ``value`` over ``[ts - 30min, ts]`` — SQL ``RANGE BETWEEN INTERVAL
+    30 MINUTE PRECEDING AND CURRENT ROW`` semantics including ts-peer
+    rows, vs q_rolling's row-count frame. One global searchsorted pair
+    per block (kernels/windows.rolling_range_bounds), integer cents
+    for summation-order-proof exactness."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        ts_us = as_array(t["ts"].cast(pa.int64())).to_numpy()
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.round(v * 100.0).astype(np.int64)
+        s, c = W.rolling_range_sum_count(
+            starts, ts_us, cents.astype(np.float64), ROLL_WINDOW_US
+        )
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]),
+                "turn_idx": as_array(t["turn_idx"]),
+                "roll30m_sum": pa.array(s / 100.0),
+                "roll30m_n": pa.array(c),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
 def q_asof_join(sf_dir: str) -> Dataset:
     """Point-in-time as-of join: for every turn, the latest purchase
     (ts' <= ts) of the same conversation — backward, leak-free.

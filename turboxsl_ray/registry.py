@@ -110,6 +110,15 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     ),
+    "rolling_time": (
+        transcript_features.q_rolling_time,
+        f"""{_T}
+        SELECT conv_id, turn_idx,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w / 100.0 AS roll30m_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS roll30m_n
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)""",
+    ),
     "asof_join": (
         transcript_features.q_asof_join,
         f"""{_T},
