@@ -403,6 +403,8 @@ def train_centroids(
             .slice(0, k)
         )
     _ids, cents = _block_matrix(init)
+    if cents.size == 0:  # empty embeddings table: nothing to train on
+        return cents
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     # footer-only row count -> deterministic hash-sample fraction
