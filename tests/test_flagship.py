@@ -346,3 +346,53 @@ def test_conv_counts_distributed_combine_matches_driver_combine(ray_session):
         c for c, n in true_counts.items() if n > min_total + floor * 8
     }
     assert comfortably <= set(got_floored)
+
+
+def test_resume_after_config_change_recomputes_and_purges(
+    ray_session, small_tables, tmp_path_factory
+):
+    """Resuming into an output dir written under a DIFFERENT config
+    must not skip (stale features would silently mix); stale partition
+    files beyond the new partition count must be purged."""
+    import os
+
+    import ray.data as rd
+
+    left_tbl, right_tbl = small_tables
+    out_dir = str(tmp_path_factory.mktemp("reconf"))
+
+    cfg_a = FlagshipConfig(num_partitions=8, salt_threshold_rows=10**9)
+    run_flagship(
+        rd.from_arrow(left_tbl).repartition(5),
+        rd.from_arrow(right_tbl).repartition(3),
+        out_dir, cfg_a,
+    )
+    files_a = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    assert len(files_a) == 8
+
+    # fewer partitions + different lags: every partition must recompute
+    cfg_b = FlagshipConfig(
+        num_partitions=4, salt_threshold_rows=10**9, lags=(("value", 3),)
+    )
+    m = run_flagship(
+        rd.from_arrow(left_tbl).repartition(5),
+        rd.from_arrow(right_tbl).repartition(3),
+        out_dir, cfg_b,
+    )
+    assert m["partitions_skipped"] == 0
+    assert m["partitions_written"] == 4
+    files_b = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    assert len(files_b) == 4  # stale part=0004..0007 purged
+
+    out = _read_out(out_dir)
+    assert len(out) == left_tbl.num_rows
+    assert "lag_value_3" in out.columns and "lag_value_1" not in out.columns
+
+    # a third run with cfg_b (unchanged) skips everything
+    m3 = run_flagship(
+        rd.from_arrow(left_tbl).repartition(5),
+        rd.from_arrow(right_tbl).repartition(3),
+        out_dir, cfg_b,
+    )
+    assert m3["partitions_skipped"] == 4
+    assert m3["partitions_written"] == 0

@@ -331,7 +331,17 @@ def run_flagship(
 
     P = cfg.num_partitions
     lineage.prepare_output_dir(out_dir)
-    done = lineage.load_done(out_dir) if resume else set()
+    # resume skips only partitions written under the SAME config and
+    # input — a changed config/input purges stale files and recomputes
+    # instead of silently mixing feature definitions across runs
+    purged: list[int] = []
+    if resume:
+        purged = lineage.purge_mismatched(out_dir, cfg.fingerprint(), input_id)
+        done = lineage.load_done(
+            out_dir, config_fingerprint=cfg.fingerprint(), input_id=input_id
+        )
+    else:
+        done = set()
     t0 = time.perf_counter()
 
     # --- skew pre-pass: which conversations need salting? The floored
@@ -567,6 +577,7 @@ def run_flagship(
             "phase_sec": phase_sec,
             "partitions_written": len(summaries),
             "partitions_skipped": len(done),
+            "partitions_purged_stale": sorted(purged),
         },
     )
 

@@ -12,6 +12,10 @@ engine config fingerprint. ``load_done`` returns completed partition
 ids; the pipeline filters those rows out right after the read, so a
 resumed run never shuffles or recomputes finished partitions
 (north_rule "resumable from checkpoint without recomputation").
+Resume is config/input-gated: partitions written under a different
+config fingerprint or input id are purged and recomputed
+(``purge_mismatched``) — a reconfigured run can never silently mix
+feature definitions in one output directory.
 
 Writes are idempotent: a retried/duplicate partition task overwrites
 the same deterministic filename, so retries cannot double rows.
@@ -109,6 +113,42 @@ def read_annotations(path: str) -> dict[str, str]:
     return out
 
 
+def purge_mismatched(
+    out_dir: str, config_fingerprint: str, input_id: str
+) -> list[int]:
+    """Remove partitions (manifest + data file) written under a
+    DIFFERENT config or input, so a reconfigured run's output directory
+    never contains stale files from the previous definition (e.g. a
+    part id beyond the new partition count). Returns purged ids."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    purged: list[int] = []
+    if not os.path.isdir(mdir):
+        return purged
+    for name in os.listdir(mdir):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        mpath = os.path.join(mdir, name)
+        try:
+            with open(mpath) as f:
+                rec = json.load(f)
+            ok = (
+                rec.get("config_fingerprint") == config_fingerprint
+                and rec.get("input_id") == input_id
+            )
+        except (json.JSONDecodeError, OSError):
+            ok = False  # torn record: drop it (and any file it names)
+            rec = {}
+        if ok:
+            continue
+        out_file = rec.get("output_file")
+        if out_file and os.path.exists(out_file):
+            os.remove(out_file)
+        os.remove(mpath)
+        if "part_id" in rec:
+            purged.append(int(rec["part_id"]))
+    return purged
+
+
 def write_run_record(out_dir: str, record: dict[str, Any]) -> None:
     """Run-level plan/decision record (which conversations were
     salted, bucket plan, phase timings) — the observability analog of
@@ -128,8 +168,18 @@ def load_run_record(out_dir: str) -> dict[str, Any] | None:
         return json.load(f)
 
 
-def load_done(out_dir: str) -> set[int]:
-    """Partition ids with a manifest record AND an intact data file."""
+def load_done(
+    out_dir: str,
+    config_fingerprint: str | None = None,
+    input_id: str | None = None,
+) -> set[int]:
+    """Partition ids with a manifest record AND an intact data file.
+
+    When ``config_fingerprint`` / ``input_id`` are given, a partition
+    only counts as done if its manifest was written under the SAME
+    config and input — resuming after a config or input change must
+    recompute, never silently mix outputs from two different runs.
+    """
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     done: set[int] = set()
     if not os.path.isdir(mdir):
@@ -140,6 +190,12 @@ def load_done(out_dir: str) -> set[int]:
         try:
             with open(os.path.join(mdir, name)) as f:
                 rec = json.load(f)
+            if config_fingerprint is not None and rec.get(
+                "config_fingerprint"
+            ) != config_fingerprint:
+                continue
+            if input_id is not None and rec.get("input_id") != input_id:
+                continue
             if os.path.exists(rec["output_file"]):
                 done.add(int(rec["part_id"]))
         except (json.JSONDecodeError, KeyError, OSError):
