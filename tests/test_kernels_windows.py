@@ -165,16 +165,18 @@ def test_rank_ntile_kernels_match_duckdb_windows():
         conv = np.repeat(np.arange(len(segs)), segs)
         vals = rng.integers(0, 4, size=conv.size).astype(np.float64)
         starts = segment_starts(conv)
-        r, p, c = rank_in_segments(starts, vals)
+        r, d, p, c = rank_in_segments(starts, vals)
         nt = ntile_in_segments(starts, 4)
         df = pd.DataFrame({"g": conv, "v": vals, "i": np.arange(conv.size)})
         o = duckdb.sql(
-            """SELECT RANK() OVER w r, PERCENT_RANK() OVER w p,
+            """SELECT RANK() OVER w r, DENSE_RANK() OVER w d,
+                      PERCENT_RANK() OVER w p,
                       CUME_DIST() OVER w c,
                       NTILE(4) OVER (PARTITION BY g ORDER BY i) nt
                FROM df WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY i"""
         ).df()
         assert (o["r"].to_numpy() == r).all(), trial
+        assert (o["d"].to_numpy() == d).all(), trial
         assert np.allclose(o["p"].to_numpy(), p), trial
         assert np.allclose(o["c"].to_numpy(), c), trial
         assert (o["nt"].to_numpy() == nt).all(), trial

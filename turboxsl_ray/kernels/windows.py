@@ -255,19 +255,21 @@ def seg_lengths_per_row(starts: np.ndarray) -> np.ndarray:
 
 
 def rank_in_segments(starts: np.ndarray, values: np.ndarray):
-    """SQL RANK / PERCENT_RANK / CUME_DIST over ``values`` ascending
-    within each segment, fully vectorized (one lexsort + scatter).
+    """SQL RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST over ``values``
+    ascending within each segment, fully vectorized (one lexsort +
+    scatter).
 
-    Ties share the min rank (SQL RANK, gaps after ties);
-    percent_rank = (rank-1)/(n-1) (0 for singleton segments);
-    cume_dist = rows-with-value<=v / n. The analog of ``position()``
-    over an ``xsl:sort``-ed selection (xpath.c:484-576 + 114-134),
-    with SQL tie semantics the reference's stable sort cannot express.
+    Ties share the min rank (SQL RANK, gaps after ties); dense rank
+    counts distinct values (no gaps); percent_rank = (rank-1)/(n-1)
+    (0 for singleton segments); cume_dist = rows-with-value<=v / n.
+    The analog of ``position()`` over an ``xsl:sort``-ed selection
+    (xpath.c:484-576 + 114-134), with SQL tie semantics the
+    reference's stable sort cannot express.
     """
     n = len(starts)
     if n == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, np.empty(0), np.empty(0)
+        return z, z.copy(), np.empty(0), np.empty(0)
     seg = np.cumsum(starts) - 1
     order = np.lexsort((values, seg))
     vs, ss = values[order], seg[order]
@@ -287,13 +289,20 @@ def rank_in_segments(starts: np.ndarray, values: np.ndarray):
     denom = np.maximum(seg_len - 1, 1)
     pct_sorted = (rank_sorted - 1) / denom
     cume_sorted = (run_end_pos[run_id] - seg_start_pos) / seg_len
+    # dense rank: distinct-run ordinal within segment (no gaps)
+    run_at_seg_start = np.maximum.accumulate(
+        np.where(first_of_seg, run_id, 0)
+    )
+    dense_sorted = run_id - run_at_seg_start + 1
     rank = np.empty(n, dtype=np.int64)
+    dense = np.empty(n, dtype=np.int64)
     pct = np.empty(n)
     cume = np.empty(n)
     rank[order] = rank_sorted
+    dense[order] = dense_sorted
     pct[order] = pct_sorted
     cume[order] = cume_sorted
-    return rank, pct, cume
+    return rank, dense, pct, cume
 
 
 def ntile_in_segments(starts: np.ndarray, k: int) -> np.ndarray:

@@ -132,13 +132,14 @@ def q_window_ranks(sf_dir: str) -> Dataset:
             .to_numpy(zero_copy_only=False)
             .astype(np.float64)
         )
-        rank, pct, cume = W.rank_in_segments(starts, v)
+        rank, dense, pct, cume = W.rank_in_segments(starts, v)
         return pa.table(
             {
                 "conv_id": as_array(t["conv_id"]),
                 "turn_idx": as_array(t["turn_idx"]),
                 "value": as_array(t["value"]),
                 "value_rank": pa.array(rank),
+                "value_dense_rank": pa.array(dense),
                 "value_pct_rank": pa.array(np.round(pct, 6)),
                 "value_cume_dist": pa.array(np.round(cume, 6)),
                 "turn_quartile": pa.array(W.ntile_in_segments(starts, 4)),

@@ -51,6 +51,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         f"""{_T}
         SELECT conv_id, turn_idx, value,
                RANK() OVER w AS value_rank,
+               DENSE_RANK() OVER w AS value_dense_rank,
                ROUND(PERCENT_RANK() OVER w, 6) AS value_pct_rank,
                ROUND(CUME_DIST() OVER w, 6) AS value_cume_dist,
                CAST(NTILE(4) OVER (PARTITION BY conv_id ORDER BY turn_idx)
