@@ -89,3 +89,37 @@ def test_schema_contract_validation(tmp_path):
     # extra columns are fine (projection prunes them)
     extra = pa.schema([("conv_id", pa.string())])
     validate_schema(TRANSCRIPT_SCHEMA, extra)
+
+
+def test_hive_partitioned_write_and_pruned_readback(ray_session, tmp_path):
+    """Recommended multi-tenant output layout: hive-partitioned write
+    (one directory per key value) + partition-pruned read-back — the
+    resumable-output rule applied to a categorical key."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "lang": pa.array(["en", "es", "en", "zh", "es", "en"]),
+            "doc_id": pa.array(range(6), pa.int64()),
+            "score": pa.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6]),
+        }
+    )
+    out = str(tmp_path / "by_lang")
+    ray.data.from_arrow(tbl).repartition(2).write_parquet(
+        out, partition_cols=["lang"]
+    )
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=en", "lang=es", "lang=zh"]
+
+    # pruned read: only the lang=es directory's files are scanned
+    es = ray.data.read_parquet(os.path.join(out, "lang=es"))
+    got = sorted(r["doc_id"] for r in es.take_all())
+    assert got == [1, 4]
+
+    # full read restores the partition column from the path
+    full = ray.data.read_parquet(out)
+    assert full.count() == 6
+    assert sorted(set(r["lang"] for r in full.take_all())) == ["en", "es", "zh"]
