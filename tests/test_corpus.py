@@ -231,3 +231,41 @@ def test_repetition_signals_on_crafted_docs(tmp_path):
     assert out["n_tokens"].tolist() == [6, 6, 5, 1]
     assert out["top_2gram_frac"].tolist() == [1.0, 1.0, 0.4, 0.0]
     assert out["dup_5gram_frac"].tolist() == [0.0, 0.5, 0.0, 0.0]
+
+
+def test_decontaminate_flags_planted_overlap(tmp_path):
+    """A doc sharing an 8-gram with a benchmark doc is contaminated;
+    an 7-gram-only overlap is not; bench docs are never flagged."""
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines.corpus import q_decontaminate
+
+    bench_text = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    bench_text,                      # id 0 -> benchmark (0 % 100 == 0)
+                    "x " + bench_text + " y",        # full 8-gram overlap -> contaminated
+                    "q1 q2 q3 q4 q5 q6 q7 zz done",  # only a 7-gram prefix -> clean
+                    "totally unrelated words here",  # clean
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "decon"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = (
+        q_decontaminate(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["is_bench"].tolist() == [True, False, False, False]
+    assert out["contaminated"].tolist() == [False, True, False, False]
+    # doc 1 contains q1..q10 contiguous -> 3 distinct bench 8-grams
+    assert out["n_overlap"].tolist()[1] == 3
+    assert out["n_overlap"].tolist()[2] == 0

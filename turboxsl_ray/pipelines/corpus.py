@@ -622,6 +622,21 @@ def q_lm_score(sf_dir: str) -> Dataset:
     return map_partitions(parts, doc_final)
 
 
+def _word_grams(flat: pa.Array, row: np.ndarray, k: int):
+    """(row_idx, gram string) for all word k-grams that stay in-row:
+    k slices of the flat token stream joined element-wise (a gram is
+    valid when its first and last token share a row) — no Python loop
+    over tokens."""
+    n = len(row)
+    if n < k:
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+    valid = row[: n - k + 1] == row[k - 1 :]
+    vmask = pa.array(valid)
+    pieces = [flat.slice(j, n - k + 1).filter(vmask) for j in range(k)]
+    joined = pc.binary_join_element_wise(*pieces, " ")
+    return row[: n - k + 1][valid], joined
+
+
 _REP_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -649,17 +664,7 @@ def q_repetition(sf_dir: str) -> Dataset:
     spans blocks (one row = one document), so everything is
     block-local: zero shuffle, embarrassingly parallel at 100 TB."""
     ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
-
-    def grams(flat: pa.Array, row: np.ndarray, k: int):
-        """(row_idx, gram string) for all k-grams that stay in-row."""
-        n = len(row)
-        if n < k:
-            return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
-        valid = row[: n - k + 1] == row[k - 1 :]
-        vmask = pa.array(valid)
-        pieces = [flat.slice(j, n - k + 1).filter(vmask) for j in range(k)]
-        joined = pc.binary_join_element_wise(*pieces, " ")
-        return row[: n - k + 1][valid], joined
+    grams = _word_grams
 
     def per_row_stats(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -714,3 +719,95 @@ def q_repetition(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(ds, per_row_stats)
+
+
+DECON_BENCH_MOD = 100  # doc_id % MOD == 0 designates the benchmark set
+DECON_K = 8            # shingle width (chars of an eval example ~ 8 words)
+
+_DECON_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("is_bench", pa.bool_()),
+        ("n_overlap", pa.int64()),
+        ("contaminated", pa.bool_()),
+    ]
+)
+
+
+def q_decontaminate(sf_dir: str) -> Dataset:
+    """Benchmark decontamination (the public n-gram-overlap rule used
+    for LLM training corpora, e.g. GPT-3 appendix C / Gopher §A1.2):
+    flag training documents that share any word ``DECON_K``-gram with
+    a designated benchmark set (here: docs with ``doc_id %
+    DECON_BENCH_MOD == 0``, a deterministic stand-in for an eval set).
+
+    Plan: the benchmark set is SMALL by definition, so its distinct
+    shingle set is collected once (per-block distinct grams of bench
+    docs -> tiny driver union) and broadcast via ``ray.put``; the full
+    corpus then streams through one ``map_batches`` doing a vectorized
+    ``is_in`` probe per gram + a per-(row, gram) distinct count — zero
+    shuffle, embarrassingly parallel at 100 TB."""
+    import ray
+
+    from turboxsl_ray.stages.aggregate import broadcast, collect_tables
+
+    docs = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids64 = pc.cast(t["doc_id"], pa.int64())
+        mod = pc.subtract(
+            ids64, pc.multiply(pc.divide(ids64, DECON_BENCH_MOD), DECON_BENCH_MOD)
+        )
+        sub = t.filter(pc.equal(mod, 0))
+        if sub.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string())})
+        _ids, lens, flat = _token_lists(sub)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        _r, g = _word_grams(flat, row, DECON_K)
+        return pa.table({"g": pc.unique(g)})
+
+    parts = collect_tables(map_partitions(docs, bench_grams))
+    gram_tables = [t for t in parts if t.num_rows]
+    if gram_tables:
+        bench_set = pc.unique(pa.concat_tables(gram_tables)["g"])
+    else:
+        bench_set = pa.array([], pa.string())
+    ref = broadcast(bench_set)
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _DECON_SCHEMA.empty_table()
+        bench = ray.get(ref)
+        ids, lens, flat = _token_lists(t)
+        nrows = len(lens)
+        row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        r, g = _word_grams(flat, row, DECON_K)
+        n_overlap = np.zeros(nrows, dtype=np.int64)
+        if len(g) and len(bench):
+            hit = pc.is_in(g, value_set=bench)
+            hit_np = hit.to_numpy(zero_copy_only=False)
+            if hit_np.any():
+                tb = pa.table(
+                    {"r": pa.array(r[hit_np]), "g": g.filter(hit)}
+                )
+                d = (
+                    tb.group_by(["r", "g"], use_threads=False)
+                    .aggregate([([], "count_all")])
+                    .group_by("r", use_threads=False)
+                    .aggregate([([], "count_all")])
+                )
+                n_overlap[as_array(d["r"]).to_numpy()] = as_array(
+                    pc.cast(d["count_all"], pa.int64())
+                ).to_numpy()
+        is_bench = ids % DECON_BENCH_MOD == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "is_bench": pa.array(is_bench),
+                "n_overlap": pa.array(n_overlap),
+                "contaminated": pa.array((n_overlap >= 1) & ~is_bench),
+            },
+            schema=_DECON_SCHEMA,
+        )
+
+    return map_partitions(docs, probe)

@@ -615,6 +615,26 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   ROUND(COALESCE(1.0 - uniq * 1.0 / total, 0), 6) AS dup_5gram_frac
            FROM ws LEFT JOIN m2 USING (doc_id) LEFT JOIN d5 USING (doc_id)""",
     ),
+    "decontaminate": (
+        corpus.q_decontaminate,
+        r"""WITH ws AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+            ),
+            g AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                          w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gr
+              FROM ws WHERE len(w) >= 8
+            ),
+            bench AS (SELECT DISTINCT gr FROM g WHERE doc_id % 100 = 0),
+            hits AS (SELECT g.doc_id, COUNT(DISTINCT g.gr) AS n
+                     FROM g JOIN bench USING (gr) GROUP BY g.doc_id)
+           SELECT ws.doc_id,
+                  (ws.doc_id % 100 = 0) AS is_bench,
+                  CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_overlap,
+                  (COALESCE(hits.n, 0) >= 1 AND ws.doc_id % 100 != 0) AS contaminated
+           FROM ws LEFT JOIN hits USING (doc_id)""",
+    ),
     "curate_corpus": (
         corpus.q_curate_corpus,
         f"""WITH d AS (SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
