@@ -243,3 +243,41 @@ def test_hot_keys_rejects_left_block_prep(ray_session):
             ray.data.from_arrow(t), ray.data.from_arrow(u), on="k",
             hot_keys={1: 2}, left_block_prep=lambda x: x,
         )
+
+
+def test_distributed_prefix_sum_matches_pandas(ray_session):
+    """sorted_with_prefix_sum must equal a single-node cumsum under
+    global key order, regardless of input block order (keys arrive
+    scrambled across blocks)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from turboxsl_ray.stages.global_sort import sorted_with_prefix_sum
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    ids = rng.permutation(n).astype(np.int64)  # scrambled arrival order
+    w = rng.integers(0, 200, size=n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(w)})
+
+    out = (
+        sorted_with_prefix_sum(
+            lambda: rd.from_arrow(tbl).repartition(13),
+            key="doc_id",
+            weight="n_tokens",
+            num_ranges=5,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"doc_id": ids, "n_tokens": w})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want["prefix"] = want["n_tokens"].cumsum().shift(1).fillna(0).astype(np.int64)
+    assert (out["prefix"].to_numpy() == want["prefix"].to_numpy()).all()
+    assert (out["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()

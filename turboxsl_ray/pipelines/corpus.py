@@ -811,3 +811,57 @@ def q_decontaminate(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(docs, probe)
+
+
+SHARD_TOKEN_BUDGET = 1024
+
+_SHARD_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("shard_id", pa.int64())]
+)
+
+
+def q_token_shards(sf_dir: str, budget: int = SHARD_TOKEN_BUDGET) -> Dataset:
+    """Token-budget shard assignment for training-data packing: under
+    global doc_id order, a document goes to shard ``floor(tokens-
+    before-it / budget)`` — contiguous ~budget-token output shards,
+    deterministic and resume-stable.
+
+    The "tokens before it" is a DISTRIBUTED PREFIX SUM
+    (stages/global_sort.sorted_with_prefix_sum): sampled range bounds,
+    per-range token totals -> exact global offsets (tiny numbers move),
+    then one range exchange of (doc_id, n_tokens) pairs — the fat text
+    never shuffles."""
+
+    def ds_factory() -> Dataset:
+        docs = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+
+        def weigh(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema(
+                    [("doc_id", pa.int64()), ("n_tokens", pa.int64())]
+                ).empty_table()
+            ids, lens, _flat = _token_lists(t)
+            return pa.table(
+                {"doc_id": pa.array(ids), "n_tokens": pa.array(lens)}
+            )
+
+        return map_partitions(docs, weigh)
+
+    from turboxsl_ray.stages.global_sort import sorted_with_prefix_sum
+
+    ranked = sorted_with_prefix_sum(ds_factory, key="doc_id", weight="n_tokens")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SHARD_SCHEMA.empty_table()
+        prefix = as_array(t["prefix"]).to_numpy()
+        return pa.table(
+            {
+                "doc_id": as_array(pc.cast(t["doc_id"], pa.int64())),
+                "n_tokens": as_array(pc.cast(t["n_tokens"], pa.int64())),
+                "shard_id": pa.array(prefix // budget),
+            },
+            schema=_SHARD_SCHEMA,
+        )
+
+    return map_partitions(ranked, finish)

@@ -615,6 +615,25 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   ROUND(COALESCE(1.0 - uniq * 1.0 / total, 0), 6) AS dup_5gram_frac
            FROM ws LEFT JOIN m2 USING (doc_id) LEFT JOIN d5 USING (doc_id)""",
     ),
+    "token_shards": (
+        corpus.q_token_shards,
+        r"""WITH ws AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM ws
+            )
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST(prefix // 1024 AS BIGINT) AS shard_id
+           FROM c""",
+    ),
     "decontaminate": (
         corpus.q_decontaminate,
         r"""WITH ws AS (

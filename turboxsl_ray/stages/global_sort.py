@@ -118,3 +118,81 @@ def sorted_with_rank(
         )
 
     return map_partitions(parts, rank_block)
+
+
+def sorted_with_prefix_sum(
+    ds_factory,
+    *,
+    key: str,
+    weight: str,
+    num_ranges: int = 8,
+    sample_stride: int = 101,
+) -> Dataset:
+    """Exclusive running total of ``weight`` under global ``key`` order
+    (the distributed prefix-sum): appends an int64 ``prefix`` column =
+    sum of weights of all strictly-earlier rows. Same two-pass plan as
+    ``sorted_with_rank`` with per-range WEIGHT sums instead of counts;
+    ``key`` must be unique (ids), so order is total without a
+    tiebreak. Powers token-budget shard assignment: shard_id =
+    prefix // budget."""
+    import ray
+
+    def keyvals(t: pa.Table) -> np.ndarray:
+        return as_array(t[key]).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def sample_block(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array(keyvals(t)[::sample_stride], type=pa.float64())})
+
+    samples = np.sort(
+        np.concatenate(
+            [t["k"].to_numpy() for t in collect_tables(map_partitions(ds_factory(), sample_block))]
+            or [np.zeros(1)]
+        )
+    )
+    qs = np.linspace(0, 1, num_ranges + 1)[1:-1]
+    bounds = np.unique(np.quantile(samples, qs)) if len(samples) else np.array([])
+    bref = broadcast(bounds)
+
+    def weight_block(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        rid = np.searchsorted(b, keyvals(t), side="right")
+        w = as_array(t[weight]).to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.bincount(rid, weights=w, minlength=len(b) + 1).astype(np.int64)
+        return pa.table(
+            {"rid": pa.array(np.arange(len(sums), dtype=np.int64)),
+             "w": pa.array(sums)}
+        )
+
+    totals = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for t in collect_tables(map_partitions(ds_factory(), weight_block)):
+        totals[t["rid"].to_numpy()] += t["w"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    oref = broadcast(offsets)
+
+    def place(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        rid = np.searchsorted(b, keyvals(t), side="right")
+        return t.append_column(RANGE_COL, pa.array(rid.astype(np.int64)))
+
+    placed = map_partitions(ds_factory(), place)
+    parts = partition_by_conv(placed, max(len(bounds) + 1, 1), keys=[RANGE_COL])
+
+    def prefix_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns([RANGE_COL]).append_column(
+                "prefix", pa.array([], pa.int64())
+            )
+        offs = ray.get(oref)
+        t = t.sort_by([(RANGE_COL, "ascending"), (key, "ascending")])
+        rid = as_array(t[RANGE_COL]).to_numpy()
+        w = as_array(t[weight]).to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(w)[:-1]))  # exclusive, block-wide
+        starts = np.concatenate(([True], rid[1:] != rid[:-1]))
+        idx = np.arange(len(rid), dtype=np.int64)
+        seg_first = np.maximum.accumulate(np.where(starts, idx, 0))
+        prefix = offs[rid] + (cs - cs[seg_first])
+        return t.drop_columns([RANGE_COL]).append_column(
+            "prefix", pa.array(prefix, type=pa.int64())
+        )
+
+    return map_partitions(parts, prefix_block)
