@@ -21,9 +21,15 @@ token stream rather than per-doc scalars (pipelines/text.py):
   of web-scale dedup;
 - ``q_curate_corpus``: the COMPOSED curation pass (exact dedup ->
   quality gates -> stop-token scrub -> packed output) fused into one
-  digest-keyed exchange — operator fusion demonstrated end-to-end.
+  digest-keyed exchange — operator fusion demonstrated end-to-end;
+- ``q_repetition``: Gopher-style repetitious-text signals (top-2-gram
+  coverage, duplicate-5-gram fraction), block-local;
+- ``q_decontaminate``: benchmark n-gram-overlap decontamination via a
+  broadcast shingle set, zero shuffle;
+- ``q_token_shards``: token-budget shard assignment for training-data
+  packing via a distributed prefix sum (stages/global_sort).
 
-All five are oracle-checked against DuckDB (the CC oracle is a
+Everything here is oracle-checked against DuckDB (the CC oracle is a
 recursive CTE computing min-reachable-label per node).
 """
 
