@@ -836,26 +836,27 @@ def q_token_shards(sf_dir: str, budget: int = SHARD_TOKEN_BUDGET) -> Dataset:
     (stages/global_sort.sorted_with_prefix_sum): sampled range bounds,
     per-range token totals -> exact global offsets (tiny numbers move),
     then one range exchange of (doc_id, n_tokens) pairs — the fat text
-    never shuffles."""
+    never shuffles. The prefix-sum stage scans its input three times
+    (sample, weight-count, place), so the expensive tokenize runs ONCE
+    and only the two-int-column weight table (~1-2 % of corpus bytes;
+    object store spills if needed) is materialized for the re-scans."""
+    docs = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
-    def ds_factory() -> Dataset:
-        docs = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64())]
+            ).empty_table()
+        ids, lens, _flat = _token_lists(t)
+        return pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(lens)})
 
-        def weigh(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.schema(
-                    [("doc_id", pa.int64()), ("n_tokens", pa.int64())]
-                ).empty_table()
-            ids, lens, _flat = _token_lists(t)
-            return pa.table(
-                {"doc_id": pa.array(ids), "n_tokens": pa.array(lens)}
-            )
-
-        return map_partitions(docs, weigh)
+    weights = map_partitions(docs, weigh).materialize()
 
     from turboxsl_ray.stages.global_sort import sorted_with_prefix_sum
 
-    ranked = sorted_with_prefix_sum(ds_factory, key="doc_id", weight="n_tokens")
+    ranked = sorted_with_prefix_sum(
+        lambda: weights, key="doc_id", weight="n_tokens"
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
