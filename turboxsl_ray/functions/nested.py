@@ -40,6 +40,13 @@ def parse_json_struct(
     ``on_error="null"`` turns unparseable rows into null structs by
     retrying row-by-row only when the batch-level parse fails — the
     happy path stays a single vectorized C++ parse.
+
+    Row alignment is guaranteed by construction, never by a row-count
+    coincidence: rows that would break the NDJSON framing (blank /
+    whitespace-only strings, which collapse to zero lines, or strings
+    containing a raw newline, which expand to several) are excluded
+    from the vectorized parse up front and handled per-row — a blank
+    row can NEVER silently receive its neighbor's payload.
     """
     arr = as_array(arr)
     n = len(arr)
@@ -48,7 +55,12 @@ def parse_json_struct(
         return pa.array([], type=pa.struct(list(empty_schema)))
     valid = pc.is_valid(arr)
     filled = pc.fill_null(arr, "{}")
-    payload = "\n".join(filled.to_pylist()).encode()
+    # frame-safe rows: exactly one NDJSON line each
+    blank = pc.equal(pc.utf8_trim_whitespace(filled), "")
+    multiline = pc.match_substring(filled, "\n")
+    framed = pc.and_not(pc.and_not(pc.is_valid(filled), blank), multiline)
+    clean = filled.filter(framed)
+    payload = _join_lines(clean)
     parse_opts = pa_json.ParseOptions(explicit_schema=explicit_schema)
     try:
         tbl = pa_json.read_json(io.BytesIO(payload), parse_options=parse_opts)
@@ -56,17 +68,49 @@ def parse_json_struct(
         if on_error != "null":
             raise
         return _parse_rows_salvage(filled, valid, explicit_schema)
-    if tbl.num_rows != n:
-        # blank/whitespace rows collapse in NDJSON; salvage per-row
+    if tbl.num_rows != len(clean):  # defensive; framing makes this exact
         if on_error != "null":
             raise pa.ArrowInvalid(
-                f"JSON parse produced {tbl.num_rows} rows for {n} inputs"
+                f"JSON parse produced {tbl.num_rows} rows for {len(clean)} inputs"
             )
         return _parse_rows_salvage(filled, valid, explicit_schema)
     st = tbl.to_struct_array().combine_chunks()
-    if valid.null_count == 0 and pc.all(valid).as_py():
-        return st
-    return pc.if_else(valid, st, pa.scalar(None, type=st.type))
+    framed_np = framed.to_numpy(zero_copy_only=False)
+    if framed_np.all():
+        out = st
+    else:
+        # rows excluded from the frame are malformed single-line JSON
+        # by definition (blank or embedded raw newline)
+        if on_error != "null" and bool(
+            (framed_np < valid.to_numpy(zero_copy_only=False)).any()
+        ):
+            raise pa.ArrowInvalid(
+                "blank or multi-line rows cannot be single-line JSON "
+                "(use on_error='null' to null them)"
+            )
+        import numpy as np
+
+        # unframed rows point at slot 0 as a placeholder; they are
+        # masked to null below (keep = valid AND framed)
+        idx = np.zeros(n, dtype=np.int64)
+        idx[framed_np] = np.arange(len(clean))
+        out = st.take(pa.array(idx))
+    if valid.null_count == 0 and pc.all(valid).as_py() and framed_np.all():
+        return out
+    keep = pc.and_(valid, pa.array(framed_np))
+    return pc.if_else(keep, out, pa.scalar(None, type=out.type))
+
+
+def _join_lines(clean: pa.Array) -> bytes:
+    """Newline-join a string column into one buffer WITHOUT per-row
+    Python strings: wrap the column as a single list element and let
+    Arrow's binary_join do the concatenation in C++."""
+    if len(clean) == 0:
+        return b""
+    lst = pa.ListArray.from_arrays(
+        pa.array([0, len(clean)], type=pa.int32()), clean
+    )
+    return pc.binary_join(lst, "\n")[0].as_py().encode()
 
 
 def _parse_rows_salvage(

@@ -333,15 +333,18 @@ def run_flagship(
     lineage.prepare_output_dir(out_dir)
     # resume skips only partitions written under the SAME config and
     # input — a changed config/input purges stale files and recomputes
-    # instead of silently mixing feature definitions across runs
-    purged: list[int] = []
-    if resume:
-        purged = lineage.purge_mismatched(out_dir, cfg.fingerprint(), input_id)
-        done = lineage.load_done(
+    # instead of silently mixing feature definitions across runs. The
+    # purge runs on resume=False too: a fresh run overwrites matching
+    # partition ids anyway, but ids beyond a reduced partition count
+    # would otherwise linger and pollute whole-directory readers.
+    purged = lineage.purge_mismatched(out_dir, cfg.fingerprint(), input_id)
+    done = (
+        lineage.load_done(
             out_dir, config_fingerprint=cfg.fingerprint(), input_id=input_id
         )
-    else:
-        done = set()
+        if resume
+        else set()
+    )
     t0 = time.perf_counter()
 
     # --- skew pre-pass: which conversations need salting? The floored

@@ -64,13 +64,21 @@ def read_parquet(
 
 
 def _first_file(path: str) -> str:
-    """A directory input is validated by its first parquet member."""
+    """A directory input is validated by its first parquet member —
+    searched recursively, so hive-partitioned layouts (``key=value/``
+    subdirectories) validate too. A directory with no parquet member
+    at all gets a clear error instead of an opaque reader failure."""
     import os
 
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            if name.endswith(".parquet"):
-                return os.path.join(path, name)
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for name in sorted(files):
+                if name.endswith(".parquet"):
+                    return os.path.join(root, name)
+        raise ValueError(
+            f"cannot validate schema contract: no .parquet file under {path!r}"
+        )
     return path
 
 

@@ -17,6 +17,10 @@ must never funnel through one worker; the classic plan:
 Equal keys are broken by the ``tiebreak`` column, so ranks are total
 and deterministic — the reference's ordered-result-slot guarantee
 (instructions.c:131-143) without any shared mutable slot array.
+
+``sorted_with_prefix_sum`` reuses the same sample/count/place
+scaffolding with per-range WEIGHT sums instead of row counts — the
+distributed prefix sum behind token-budget shard assignment.
 """
 
 from __future__ import annotations
@@ -31,6 +35,47 @@ from turboxsl_ray.stages.aggregate import broadcast, collect_tables
 from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
 
 RANGE_COL = "__range"
+
+
+def _sample_bounds(ds_factory, keyvals, num_ranges: int, sample_stride: int):
+    """Pass 1a shared by both plans: stride-sample keys per block,
+    pick ascending split points (balance heuristic, never
+    correctness). Returns (bounds, rid_of) where ``rid_of(t)`` assigns
+    each row its range id via the broadcast bounds."""
+    import ray
+
+    def sample_block(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": pa.array(keyvals(t)[::sample_stride], type=pa.float64())}
+        )
+
+    samples = np.sort(
+        np.concatenate(
+            [t["k"].to_numpy() for t in collect_tables(map_partitions(ds_factory(), sample_block))]
+            or [np.zeros(1)]
+        )
+    )
+    qs = np.linspace(0, 1, num_ranges + 1)[1:-1]
+    bounds = np.unique(np.quantile(samples, qs)) if len(samples) else np.array([])
+    bref = broadcast(bounds)
+
+    def rid_of(t: pa.Table) -> np.ndarray:
+        return np.searchsorted(ray.get(bref), keyvals(t), side="right")
+
+    return bounds, rid_of
+
+
+def _place_by_range(ds_factory, rid_of, bounds) -> Dataset:
+    """Pass 2 entry shared by both plans: tag rows with their range id
+    and exchange by it (all equal keys land in one range)."""
+
+    def place(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            RANGE_COL, pa.array(rid_of(t).astype(np.int64))
+        )
+
+    placed = map_partitions(ds_factory(), place)
+    return partition_by_conv(placed, max(len(bounds) + 1, 1), keys=[RANGE_COL])
 
 
 def sorted_with_rank(
@@ -56,26 +101,11 @@ def sorted_with_rank(
     def keyvals(t: pa.Table) -> np.ndarray:
         return as_array(t[key]).to_numpy(zero_copy_only=False).astype(np.float64) * sign
 
-    # -- pass 1a: stride-sample keys per block (balance heuristic)
-    def sample_block(t: pa.Table) -> pa.Table:
-        kv = keyvals(t)[::sample_stride]
-        return pa.table({"k": pa.array(kv, type=pa.float64())})
-
-    samples = np.sort(
-        np.concatenate(
-            [t["k"].to_numpy() for t in collect_tables(map_partitions(ds_factory(), sample_block))]
-            or [np.zeros(1)]
-        )
-    )
-    qs = np.linspace(0, 1, num_ranges + 1)[1:-1]
-    bounds = np.unique(np.quantile(samples, qs)) if len(samples) else np.array([])
-    bref = broadcast(bounds)
+    bounds, rid_of = _sample_bounds(ds_factory, keyvals, num_ranges, sample_stride)
 
     # -- pass 1b: exact per-range counts → global offsets
     def count_block(t: pa.Table) -> pa.Table:
-        b = ray.get(bref)
-        rid = np.searchsorted(b, keyvals(t), side="right")
-        cnt = np.bincount(rid, minlength=len(b) + 1)
+        cnt = np.bincount(rid_of(t), minlength=len(bounds) + 1)
         return pa.table(
             {"rid": pa.array(np.arange(len(cnt), dtype=np.int64)),
              "n": pa.array(cnt.astype(np.int64))}
@@ -87,14 +117,7 @@ def sorted_with_rank(
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
     oref = broadcast(offsets)
 
-    # -- pass 2: place, shuffle by range, sort + rank per range block
-    def place(t: pa.Table) -> pa.Table:
-        b = ray.get(bref)
-        rid = np.searchsorted(b, keyvals(t), side="right")
-        return t.append_column(RANGE_COL, pa.array(rid.astype(np.int64)))
-
-    placed = map_partitions(ds_factory(), place)
-    parts = partition_by_conv(placed, max(len(bounds) + 1, 1), keys=[RANGE_COL])
+    parts = _place_by_range(ds_factory, rid_of, bounds)
 
     order = "descending" if descending else "ascending"
 
@@ -140,24 +163,14 @@ def sorted_with_prefix_sum(
     def keyvals(t: pa.Table) -> np.ndarray:
         return as_array(t[key]).to_numpy(zero_copy_only=False).astype(np.float64)
 
-    def sample_block(t: pa.Table) -> pa.Table:
-        return pa.table({"k": pa.array(keyvals(t)[::sample_stride], type=pa.float64())})
+    bounds, rid_of = _sample_bounds(ds_factory, keyvals, num_ranges, sample_stride)
 
-    samples = np.sort(
-        np.concatenate(
-            [t["k"].to_numpy() for t in collect_tables(map_partitions(ds_factory(), sample_block))]
-            or [np.zeros(1)]
-        )
-    )
-    qs = np.linspace(0, 1, num_ranges + 1)[1:-1]
-    bounds = np.unique(np.quantile(samples, qs)) if len(samples) else np.array([])
-    bref = broadcast(bounds)
-
+    # -- pass 1b: exact per-range weight totals → global offsets
     def weight_block(t: pa.Table) -> pa.Table:
-        b = ray.get(bref)
-        rid = np.searchsorted(b, keyvals(t), side="right")
         w = as_array(t[weight]).to_numpy(zero_copy_only=False).astype(np.int64)
-        sums = np.bincount(rid, weights=w, minlength=len(b) + 1).astype(np.int64)
+        sums = np.bincount(
+            rid_of(t), weights=w, minlength=len(bounds) + 1
+        ).astype(np.int64)
         return pa.table(
             {"rid": pa.array(np.arange(len(sums), dtype=np.int64)),
              "w": pa.array(sums)}
@@ -169,13 +182,7 @@ def sorted_with_prefix_sum(
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
     oref = broadcast(offsets)
 
-    def place(t: pa.Table) -> pa.Table:
-        b = ray.get(bref)
-        rid = np.searchsorted(b, keyvals(t), side="right")
-        return t.append_column(RANGE_COL, pa.array(rid.astype(np.int64)))
-
-    placed = map_partitions(ds_factory(), place)
-    parts = partition_by_conv(placed, max(len(bounds) + 1, 1), keys=[RANGE_COL])
+    parts = _place_by_range(ds_factory, rid_of, bounds)
 
     def prefix_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -107,11 +107,16 @@ def conv_counts(
 
         shuffled = partition_by_conv(partials, 16, keys=[key])
 
+        out_schema = pa.schema([(key, pa.string()), ("n_sum", pa.int64())])
+
         def combine(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
-                return t
+                # keep one schema across blocks: empty partitions must
+                # emit (key, n_sum), not the input's (key, n)
+                return out_schema.empty_table()
             g = t.group_by(key).aggregate([("n", "sum")])
-            return g.filter(pc.greater(g["n_sum"], int(min_total)))
+            g = g.filter(pc.greater(g["n_sum"], int(min_total)))
+            return g.select([key, "n_sum"]).cast(out_schema)
 
         rows = map_partitions(shuffled, combine).take_all()
         return {r[key]: int(r["n_sum"]) for r in rows}

@@ -140,12 +140,21 @@ def purge_mismatched(
             rec = {}
         if ok:
             continue
-        out_file = rec.get("output_file")
+        # the part id is recoverable from the manifest filename even
+        # when the record itself is torn, so the orphan data file of a
+        # crashed write never survives a reconfigured run
+        try:
+            pid = int(rec.get("part_id", name[len("part-"):-len(".json")]))
+        except ValueError:
+            pid = None
+        out_file = rec.get("output_file") or (
+            data_path(out_dir, pid) if pid is not None else None
+        )
         if out_file and os.path.exists(out_file):
             os.remove(out_file)
         os.remove(mpath)
-        if "part_id" in rec:
-            purged.append(int(rec["part_id"]))
+        if pid is not None:
+            purged.append(pid)
     return purged
 
 
