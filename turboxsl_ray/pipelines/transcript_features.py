@@ -508,6 +508,50 @@ def q_session_stats(sf_dir: str) -> Dataset:
     )
 
 
+def q_zscore(sf_dir: str) -> Dataset:
+    """Per-conversation feature standardization: value_z = (value -
+    mean_conv) / std_conv with SQL STDDEV_SAMP semantics (null for
+    single-turn conversations and zero-variance groups). The classic
+    per-entity normalization step before model training — block-local
+    after the one conv exchange (segment sums via np.add.reduceat, no
+    second shuffle). Rounded to 6 digits on both sides: mean/std are
+    reduceat sums over the block's contiguous segment, and the oracle
+    aggregates the same doubles per window, so ties at the rounding
+    boundary cannot arise from ordering."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        v = as_array(t["value"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        bounds = np.flatnonzero(starts)
+        n = len(v)
+        sizes = np.diff(np.append(bounds, n)).astype(np.float64)
+        seg_id = np.cumsum(starts) - 1
+        s1 = _reduceat(v, bounds)
+        mean = s1 / sizes
+        dev = v - mean[seg_id]
+        ss = _reduceat(dev * dev, bounds)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            std = np.sqrt(ss / np.maximum(sizes - 1.0, 0.0))
+        std_row = std[seg_id]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = dev / std_row
+        ok = np.isfinite(z)
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]),
+                "turn_idx": as_array(t["turn_idx"]),
+                "value": as_array(t["value"]),
+                "value_z": pa.array(
+                    np.round(np.where(ok, z, 0.0), 6), mask=~ok
+                ),
+            }
+        )
+
+    return transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
 def q_conv_stats(sf_dir: str) -> Dataset:
     """Per-conversation rollup: the conv→turn hierarchy aggregate
     (ancestor-axis analog, SURVEY.md §2.3)."""

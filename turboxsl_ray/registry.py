@@ -111,6 +111,14 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     ),
+    "zscore": (
+        transcript_features.q_zscore,
+        f"""{_T}
+        SELECT conv_id, turn_idx, value,
+               ROUND((value - AVG(value) OVER w)
+                     / NULLIF(STDDEV_SAMP(value) OVER w, 0), 6) AS value_z
+        FROM t WINDOW w AS (PARTITION BY conv_id)""",
+    ),
     "rolling_time": (
         transcript_features.q_rolling_time,
         f"""{_T}
