@@ -120,12 +120,12 @@ def test_copartition_join_hot_key_salting_parity(ray_session):
     right = pa.table({"k": pa.array(rkeys, pa.int64()),
                       "rv": pa.array(np.arange(len(rkeys), dtype=np.int64))})
 
-    def run(how, hot):
+    def run(how, hot, num_partitions=8):
         return (
             copartition_join(
                 ray.data.from_arrow(left).repartition(4),
                 ray.data.from_arrow(right).repartition(2),
-                on="k", how=how, num_partitions=8,
+                on="k", how=how, num_partitions=num_partitions,
                 hot_keys={7: 4} if hot else None,
             )
             .to_pandas()
@@ -133,12 +133,17 @@ def test_copartition_join_hot_key_salting_parity(ray_session):
             .reset_index(drop=True)
         )
 
-    for how in ("inner", "left"):
-        plain, salted = run(how, False), run(how, True)
-        pd.testing.assert_frame_equal(plain, salted)
+    # num_partitions < buckets forces several salt buckets of the hot
+    # key into ONE partition — the case where joining on the key alone
+    # would duplicate rows (regression: salt must stay a join key)
+    for num_partitions in (2, 3, 5, 8):
+        for how in ("inner", "left"):
+            plain = run(how, False, num_partitions)
+            salted = run(how, True, num_partitions)
+            pd.testing.assert_frame_equal(plain, salted)
     # sanity: inner multiplicity for the hot key is n_left(7) x n_right(7)
     expected = int((lkeys == 7).sum()) * int((rkeys == 7).sum())
-    assert int((run("inner", True)["k"] == 7).sum()) == expected
+    assert int((run("inner", True, 2)["k"] == 7).sum()) == expected
 
 
 def test_copartition_join_full_outer(ray_session):
@@ -281,3 +286,20 @@ def test_distributed_prefix_sum_matches_pandas(ray_session):
     want["prefix"] = want["n_tokens"].cumsum().shift(1).fillna(0).astype(np.int64)
     assert (out["prefix"].to_numpy() == want["prefix"].to_numpy()).all()
     assert (out["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+
+
+def test_bloom_null_keys_survive_unpruned(ray_session):
+    """Null probe keys must pass the bloom filter unpruned (the join's
+    own null semantics decide), and null build keys set no bits —
+    regression for an IndexError on nullable string keys."""
+    import pyarrow as pa
+    import ray.data
+
+    from turboxsl_ray.stages.bloom import bloom_mask, build_bloom
+
+    build = pa.table({"k": pa.array(["a", None, "b"])})
+    bloom = build_bloom(ray.data.from_arrow(build), "k")
+    keep = bloom_mask(pa.array(["a", None, "zzz-not-present"]), bloom)
+    assert keep[0]          # present value kept
+    assert keep[1]          # null passes through
+    assert not keep[2]      # absent value pruned (no false negative risk)

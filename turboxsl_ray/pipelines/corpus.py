@@ -183,7 +183,10 @@ def q_tfidf(sf_dir: str) -> Dataset:
             }
         )
 
-    tf = map_partitions(ds, tf_block)
+    # tf feeds BOTH the df derivation and the final join; without
+    # materializing, the lazy plan would re-read + re-tokenize the
+    # whole corpus once per consumer
+    tf = map_partitions(ds, tf_block).materialize()
 
     def df_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -491,7 +494,9 @@ def q_lm_score(sf_dir: str) -> Dataset:
             }
         )
 
-    instances = map_partitions(ds, bigram_instances)
+    # instances feed the c2 counts AND the final per-instance join;
+    # materialize once so the corpus is read + tokenized one time
+    instances = map_partitions(ds, bigram_instances).materialize()
 
     def _counts(src: Dataset, key: str, out: str) -> Dataset:
         schema = pa.schema([(key, pa.string()), (out, pa.int64())])

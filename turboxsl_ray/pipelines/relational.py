@@ -875,11 +875,16 @@ def q_approx_quantiles(sf_dir: str, bins: int = QUANTILE_BINS) -> pd.DataFrame:
 
     def mm(t: pa.Table) -> pa.Table:
         v = as_array(t[col]).to_numpy(zero_copy_only=False)
+        if len(v) == 0:  # an empty shard among non-empty ones
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
         return pa.table({"lo": pa.array([float(v.min())]),
                          "hi": pa.array([float(v.max())])})
 
     lo, hi = np.inf, -np.inf
     for t in collect_tables(map_partitions(ds_factory(), mm)):
+        if t.num_rows == 0:
+            continue
         lo = min(lo, t["lo"][0].as_py())
         hi = max(hi, t["hi"][0].as_py())
 

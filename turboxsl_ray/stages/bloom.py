@@ -44,9 +44,16 @@ def _key_hash(col) -> np.ndarray:
     per block first, so Python hashing touches only the block's
     DISTINCT values; rows map through the indices (vectorized take).
     """
+    import pyarrow.compute as pc
+
     arr = as_array(col)
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
     if pa.types.is_integer(arr.type):
-        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = (
+            pc.fill_null(arr.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         h = v.view(np.uint64).copy()
     else:
         # deterministic across processes (builtin hash() is per-process
@@ -64,14 +71,20 @@ def _key_hash(col) -> np.ndarray:
             ],
             dtype=np.uint64,
         )
-        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        h = uniq[idx]
+        # null rows have null indices -> NaN via to_numpy; point them at
+        # slot 0 (any slot) and let the returned mask exclude them
+        idx = (
+            pc.fill_null(enc.indices, 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        h = uniq[idx] if len(uniq) else np.zeros(len(arr), dtype=np.uint64)
     h ^= h >> np.uint64(33)
     h *= _MIX1
     h ^= h >> np.uint64(29)
     h *= _MIX2
     h ^= h >> np.uint64(32)
-    return h
+    return h, valid
 
 
 def _positions(h: np.ndarray, nbits: int) -> tuple[np.ndarray, np.ndarray]:
@@ -95,7 +108,8 @@ def build_bloom(ds: Dataset, on: str, nbits: int = DEFAULT_NBITS) -> np.ndarray:
     def block_bits(t: pa.Table) -> pa.Table:
         words = np.zeros(nwords, dtype=np.uint64)
         if t.num_rows:
-            h = _key_hash(t[on])
+            h, valid = _key_hash(t[on])
+            h = h[valid]
             for p in _positions(h, nbits):
                 np.bitwise_or.at(words, p >> 6, np.uint64(1) << (p & 63).astype(np.uint64))
         return pa.table({"bits": pa.array([words.tobytes()], type=pa.large_binary())})
@@ -110,8 +124,10 @@ def build_bloom(ds: Dataset, on: str, nbits: int = DEFAULT_NBITS) -> np.ndarray:
 def bloom_mask(col, bloom: np.ndarray) -> np.ndarray:
     """Boolean keep-mask: True where the key MIGHT be in the build set."""
     nbits = len(bloom) * 64
-    h = _key_hash(col)
+    h, valid = _key_hash(col)
     keep = np.ones(len(h), dtype=bool)
     for p in _positions(h, nbits):
         keep &= (bloom[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1) != 0
-    return keep
+    # a null key can never be pruned by a bloom of VALUES: pass it
+    # through unfiltered and let the join's own null semantics decide
+    return keep | ~valid

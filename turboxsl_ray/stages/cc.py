@@ -250,7 +250,7 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            "(with pointer jumping this needs diameter > 2^{max_rounds} — "
+            f"(with pointer jumping this needs diameter > 2^{max_rounds} — "
             "almost certainly a bug, not a real graph)"
         )
 

@@ -137,11 +137,15 @@ def _to_arrow(x) -> pa.Array:
 
 def _common_type(types: list[pa.DataType], labels: list[str]) -> pa.DataType:
     """One output type for all rule actions: equal types pass through,
-    mixed numeric/bool promotes (float64 > int64), anything else raises
-    with the offending rule names."""
-    uniq = set(types)
+    null-typed actions (a rule that only emits None, e.g. a spec rule
+    without 'emit') promote to any other type, mixed numeric/bool
+    promotes (float64 > int64), anything else raises with the
+    offending rule names."""
+    uniq = {t for t in types if not pa.types.is_null(t)}
+    if not uniq:
+        return pa.null()
     if len(uniq) == 1:
-        return types[0]
+        return next(iter(uniq))
     def numericish(t):
         return pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t)
     if all(numericish(t) for t in uniq):

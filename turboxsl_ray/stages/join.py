@@ -212,6 +212,15 @@ def copartition_join(
         src = as_array(t[SRC_COL]).to_numpy(zero_copy_only=False)
         lmask = pa.array(src == 0)
         rmask = pa.array(src == 1)
+        if hot_keys:
+            # the shuffle can co-locate SEVERAL salt buckets of one hot
+            # key in one partition; joining on the key alone would match
+            # a left row against every co-located right replica (one per
+            # bucket) and emit duplicates — the salt must stay a join key
+            lt = t.filter(lmask).select([*lnames, SALT_COL])
+            rt = t.filter(rmask).select([on, *rnames, SALT_COL])
+            out = lt.join(rt, keys=[on, SALT_COL], join_type=join_type)
+            return out.drop_columns([SALT_COL])
         lt = t.filter(lmask).select([*lnames])
         if left_block_prep is not None:
             lt = left_block_prep(lt)

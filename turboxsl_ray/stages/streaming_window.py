@@ -62,7 +62,16 @@ class StreamingWindowStage:
         # conversation REAPPEARING means an upstream re-block split it
         # across batches non-contiguously — state carry would silently
         # produce wrong lag/session values, so we raise instead.
-        self._finished: set = set()
+        # BOUNDED: an LRU of the most recently closed conversations —
+        # a long-lived actor streaming billions of conversations must
+        # not grow O(#convs) state (the whole point of ring buffers).
+        # A re-block split puts the severed parts NEAR each other in
+        # the stream, so a recent-window check catches real violations;
+        # beyond the cap the guard is best-effort by design.
+        from collections import OrderedDict
+
+        self._finished: "OrderedDict" = OrderedDict()
+        self._finished_cap = 65_536
         self._open_conv = None
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -128,7 +137,7 @@ class StreamingWindowStage:
                 "by conv_id)"
             )
         if self._open_conv is not None and first_conv != self._open_conv:
-            self._finished.add(self._open_conv)
+            self._mark_finished(self._open_conv)
         reappeared = [c for c in set(firsts) if c in self._finished]
         if reappeared:
             raise ValueError(
@@ -138,8 +147,15 @@ class StreamingWindowStage:
                 "(partition_by_conv + sort_block upstream)"
             )
         # every conversation in this batch except the last is now closed
-        self._finished.update(firsts[:-1])
+        for c in firsts[:-1]:
+            self._mark_finished(c)
         self._open_conv = firsts[-1]
+
+    def _mark_finished(self, conv) -> None:
+        self._finished[conv] = None
+        self._finished.move_to_end(conv)
+        while len(self._finished) > self._finished_cap:
+            self._finished.popitem(last=False)
 
     def _update_state(self, raw: pa.Table, computed: pa.Table) -> None:
         conv = as_array(raw["conv_id"])
