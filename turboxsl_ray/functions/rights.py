@@ -33,12 +33,12 @@ def check_rights(arr: "pa.Array | pa.ChunkedArray", rights_ref) -> pa.Array:
     """Boolean membership mask for ``arr`` against the broadcast set."""
     from turboxsl_ray.kernels.arrays import as_array
 
+    from turboxsl_ray.stages.aggregate import lookup_int_keys
+
     keys = ray.get(rights_ref) if isinstance(rights_ref, ray.ObjectRef) else rights_ref
     vals = as_array(arr).to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(keys) == 0:
-        return pa.array(np.zeros(len(vals), dtype=bool))
-    pos = np.clip(np.searchsorted(keys, vals), 0, len(keys) - 1)
-    return pa.array(keys[pos] == vals)
+    _, found = lookup_int_keys(vals, keys, keys)
+    return pa.array(found)
 
 
 from turboxsl_ray.functions.registry import register  # noqa: E402

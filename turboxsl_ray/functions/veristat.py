@@ -29,13 +29,14 @@ def veristat(arr: "pa.Array | pa.ChunkedArray", ref, default: float = 1.0) -> pa
     """float64 config value per row; ``default`` for unknown keys."""
     from turboxsl_ray.kernels.arrays import as_array
 
+    from turboxsl_ray.stages.aggregate import probe_sorted
+
     side = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
     keys, vals = side["keys"], side["vals"]
     probe = as_array(arr).to_numpy(zero_copy_only=False).astype(str)
+    pos, found = probe_sorted(keys, probe)
     if len(keys) == 0:
         return pa.array(np.full(len(probe), default, dtype=np.float64))
-    pos = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
-    found = keys[pos] == probe
     out = np.where(found, vals[pos], default)
     return pa.array(out, type=pa.float64())
 

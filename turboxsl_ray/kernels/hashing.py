@@ -27,3 +27,18 @@ def partition_ids(conv_ids, num_partitions: int) -> np.ndarray:
     """Stable partition id in [0, num_partitions) per row — the
     engine's lineage/resume unit (deterministic across runs)."""
     return (stable_hash64(conv_ids) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def md5_first_hex_digit(ids: np.ndarray) -> np.ndarray:
+    """First hex digit of md5(str(id)) per row, as int64 0..15 — the
+    deterministic sampling hash shared by q_sample_hash and
+    q_stratified_sample (stable across runs/partitionings/resumes;
+    oracle-matchable via DuckDB's md5()). md5 is inherently per-value;
+    the loop is a C-speed digest per row, like ltr:md5_hex."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) for i in ids),
+        dtype=np.int64,
+        count=len(ids),
+    )

@@ -34,6 +34,7 @@ from turboxsl_ray.stages.aggregate import (
     broadcast,
     distinct_small,
     groupby_small,
+    probe_sorted,
     topk,
 )
 from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
@@ -210,9 +211,7 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
     def probe(t: pa.Table) -> pa.Table:
         side = ray.get(ref)
         ck = as_array(t["o_custkey"]).to_numpy()
-        pos = np.searchsorted(side["keys"], ck)
-        pos = np.clip(pos, 0, len(side["keys"]) - 1)
-        found = side["keys"][pos] == ck
+        pos, found = probe_sorted(side["keys"], ck)
         seg = np.array(side["dict"], dtype=object)[side["codes"][pos]]
         tp = as_array(t["o_totalprice"]).to_numpy(zero_copy_only=False)
         t2 = pa.table(
@@ -253,9 +252,7 @@ def q_customer_nation_region(sf_dir: str) -> pd.DataFrame:
     def probe(t: pa.Table) -> pa.Table:
         side = ray.get(ref)
         nk = as_array(t["c_nationkey"]).to_numpy().astype(np.int64)
-        pos = np.searchsorted(side["keys"], nk)
-        pos = np.clip(pos, 0, len(side["keys"]) - 1)
-        found = side["keys"][pos] == nk
+        pos, found = probe_sorted(side["keys"], nk)
         bal = as_array(t["c_acctbal"]).to_numpy(zero_copy_only=False)
         out = pa.table(
             {
@@ -338,17 +335,13 @@ def q_sample_hash(sf_dir: str) -> Dataset:
     oracle-checkable): keep an event iff the first hex digit of
     md5(event_id) is 0 or 1 (exact 1/8 expected rate, stable across
     runs/partitionings — the only sampling that can survive a resume)."""
-    import hashlib
+    from turboxsl_ray.kernels.hashing import md5_first_hex_digit
 
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def sample(t: pa.Table) -> pa.Table:
         ids = as_array(pc.cast(t["event_id"], pa.int64())).to_numpy()
-        keep = np.fromiter(
-            (hashlib.md5(str(i).encode()).hexdigest()[0] in "01" for i in ids),
-            dtype=bool,
-            count=len(ids),
-        )
+        keep = md5_first_hex_digit(ids) < 2
         out = t.filter(pa.array(keep))
         return pa.table(
             {
@@ -392,8 +385,7 @@ def q_customers_without_orders(sf_dir: str) -> Dataset:
     def anti(t: pa.Table) -> pa.Table:
         keys = np.sort(ray.get(ref))
         ck = as_array(t["c_custkey"]).to_numpy()
-        pos = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
-        has = keys[pos] == ck if len(keys) else np.zeros(len(ck), dtype=bool)
+        _pos, has = probe_sorted(keys, ck)
         return t.filter(pa.array(~has))
 
     return map_partitions(cust, anti)
@@ -654,9 +646,7 @@ def q_order_lineitem_join(sf_dir: str, force_copartition: bool = False) -> Datas
         )
         side = ray.get(ref)
         ok = as_array(g["o_orderkey"]).to_numpy()
-        pos = np.searchsorted(side["keys"], ok)
-        pos = np.clip(pos, 0, max(len(side["keys"]) - 1, 0))
-        found = side["keys"][pos] == ok if len(side["keys"]) else np.zeros(len(ok), bool)
+        pos, found = probe_sorted(side["keys"], ok)
         prio_str = np.array(side["dict"], dtype=object)[side["codes"][pos]]
         out = pa.table(
             {
@@ -1410,17 +1400,13 @@ def q_stratified_sample(sf_dir: str) -> Dataset:
     all rare purchase/error rows, downsample the bulky view/click
     classes) — the class-rebalancing pass of a training-data pipeline,
     as a pure filter (no shuffle, no state, resume-stable)."""
-    import hashlib
+    from turboxsl_ray.kernels.hashing import md5_first_hex_digit
 
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def sample(t: pa.Table) -> pa.Table:
         ids = as_array(pc.cast(t["event_id"], pa.int64())).to_numpy()
-        digit = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) for i in ids),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        digit = md5_first_hex_digit(ids)
         et = as_array(t["event_type"])
         limit = np.zeros(len(ids), dtype=np.int64)
         for name, n in STRATA_HEX.items():

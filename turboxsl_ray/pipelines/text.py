@@ -273,6 +273,38 @@ _PAIR_OUT_SCHEMA = pa.schema(
 )
 
 
+def _make_pair_counts(df_cap):
+    """Block fn shared by the shingle (q_ngram_jaccard) and winnowing
+    (q_winnow_dedup) inverted indexes: within a gram/fingerprint-keyed
+    block, emit per-(da, db) co-occurrence partial counts, vectorized
+    (sort -> pair emission -> lexsort -> run-length count)."""
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_PARTIAL_SCHEMA.empty_table()
+        t = t.sort_by([("g", "ascending"), ("doc_id", "ascending")])
+        g = as_array(t["g"]).to_numpy()
+        d = as_array(t["doc_id"]).to_numpy()
+        nd = as_array(t["nd"]).to_numpy()
+        ai, bi = _emit_gram_pairs(g, df_cap)
+        if len(ai) == 0:
+            return _PAIR_PARTIAL_SCHEMA.empty_table()
+        da, db, na, nb = d[ai], d[bi], nd[ai], nd[bi]
+        order = np.lexsort((db, da))
+        da, db, na, nb = da[order], db[order], na[order], nb[order]
+        first = np.concatenate(([True], (da[1:] != da[:-1]) | (db[1:] != db[:-1])))
+        idx = np.flatnonzero(first)
+        c = np.diff(np.append(idx, len(da)))
+        return pa.table(
+            {"da": pa.array(da[idx]), "db": pa.array(db[idx]),
+             "c": pa.array(c.astype(np.int64)),
+             "na": pa.array(na[idx]), "nb": pa.array(nb[idx])},
+            schema=_PAIR_PARTIAL_SCHEMA,
+        )
+
+    return pair_counts
+
+
 def q_ngram_jaccard(
     sf_dir: str,
     threshold: float = JACCARD_THRESHOLD,
@@ -299,34 +331,7 @@ def q_ngram_jaccard(
         keys=["g"],
     )
 
-    def pair_counts(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _PAIR_PARTIAL_SCHEMA.empty_table()
-        t = t.sort_by([("g", "ascending"), ("doc_id", "ascending")])
-        g = as_array(t["g"]).to_numpy()
-        d = as_array(t["doc_id"]).to_numpy()
-        nd = as_array(t["nd"]).to_numpy()
-        ai, bi = _emit_gram_pairs(g, df_cap)
-        if len(ai) == 0:
-            return _PAIR_PARTIAL_SCHEMA.empty_table()
-        da, db, na, nb = d[ai], d[bi], nd[ai], nd[bi]
-        order = np.lexsort((db, da))
-        da, db, na, nb = da[order], db[order], na[order], nb[order]
-        first = np.concatenate(
-            ([True], (da[1:] != da[:-1]) | (db[1:] != db[:-1]))
-        )
-        idx = np.flatnonzero(first)
-        c = np.diff(np.append(idx, len(da)))
-        return pa.table(
-            {
-                "da": pa.array(da[idx]), "db": pa.array(db[idx]),
-                "c": pa.array(c.astype(np.int64)),
-                "na": pa.array(na[idx]), "nb": pa.array(nb[idx]),
-            },
-            schema=_PAIR_PARTIAL_SCHEMA,
-        )
-
-    partials = map_partitions(by_gram, pair_counts)
+    partials = map_partitions(by_gram, _make_pair_counts(df_cap))
     by_pair = partition_by_conv(
         partials, partitions_for_input(_docs_path(sf_dir)), keys=["da", "db"]
     )
@@ -438,31 +443,8 @@ def q_winnow_dedup(
         keys=["g"],
     )
 
-    def pair_counts(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _PAIR_PARTIAL_SCHEMA.empty_table()
-        t = t.sort_by([("g", "ascending"), ("doc_id", "ascending")])
-        g = as_array(t["g"]).to_numpy()
-        d = as_array(t["doc_id"]).to_numpy()
-        nd = as_array(t["nd"]).to_numpy()
-        ai, bi = _emit_gram_pairs(g, df_cap)
-        if len(ai) == 0:
-            return _PAIR_PARTIAL_SCHEMA.empty_table()
-        da, db, na, nb = d[ai], d[bi], nd[ai], nd[bi]
-        order = np.lexsort((db, da))
-        da, db, na, nb = da[order], db[order], na[order], nb[order]
-        first = np.concatenate(([True], (da[1:] != da[:-1]) | (db[1:] != db[:-1])))
-        idx = np.flatnonzero(first)
-        c = np.diff(np.append(idx, len(da)))
-        return pa.table(
-            {"da": pa.array(da[idx]), "db": pa.array(db[idx]),
-             "c": pa.array(c.astype(np.int64)),
-             "na": pa.array(na[idx]), "nb": pa.array(nb[idx])},
-            schema=_PAIR_PARTIAL_SCHEMA,
-        )
-
     by_pair = partition_by_conv(
-        map_partitions(by_fp, pair_counts),
+        map_partitions(by_fp, _make_pair_counts(df_cap)),
         partitions_for_input(_docs_path(sf_dir)),
         keys=["da", "db"],
     )

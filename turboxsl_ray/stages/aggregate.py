@@ -144,15 +144,36 @@ def fetch(ref: Any) -> Any:
     return ref
 
 
+def probe_sorted(table_keys: np.ndarray, probe: np.ndarray):
+    """The broadcast-lookup probe shared by every key()-style stage:
+    searchsorted over the SORTED broadcast keys (any sortable dtype),
+    clipped, plus the exact-match mask. Returns (pos, found); with an
+    empty table every probe is not-found and pos is all zeros (safe to
+    index any same-length payload after masking)."""
+    import numpy as np
+
+    if len(table_keys) == 0:
+        return (
+            np.zeros(len(probe), dtype=np.int64),
+            np.zeros(len(probe), dtype=bool),
+        )
+    pos = np.clip(np.searchsorted(table_keys, probe), 0, len(table_keys) - 1)
+    return pos, table_keys[pos] == probe
+
+
 def lookup_int_keys(keys: np.ndarray, table_keys: np.ndarray, table_vals: np.ndarray,
                     default: Any = None):
-    """Vectorized dict-style lookup for integer keys via searchsorted
-    over the (sorted) broadcast side. Returns (values, found_mask)."""
-    pos = np.searchsorted(table_keys, keys)
-    pos = np.clip(pos, 0, len(table_keys) - 1)
-    found = table_keys[pos] == keys
-    vals = table_vals[pos]
-    return vals, found
+    """Vectorized dict-style lookup via ``probe_sorted``. Returns
+    (values, found_mask); an empty table yields all-not-found."""
+    import numpy as np
+
+    pos, found = probe_sorted(table_keys, keys)
+    if len(table_keys) == 0:
+        vals = np.zeros(
+            len(keys), dtype=table_vals.dtype if len(table_vals) else np.int64
+        )
+        return vals, found
+    return table_vals[pos], found
 
 
 def topk(
