@@ -35,7 +35,10 @@ def parse_json_struct(
 ) -> pa.Array:
     """Parse a string column of single-line JSON objects into one
     struct array (schema inferred across the batch unless
-    ``explicit_schema`` is given). Nulls stay null.
+    ``explicit_schema`` is given). Nulls stay null. Keys must be
+    TYPE-STABLE across the batch (a key that flips e.g. number→string
+    mid-batch raises — columnar data has one type per field; pass
+    ``explicit_schema`` to coerce).
 
     ``on_error="null"`` turns unparseable rows into null structs by
     retrying row-by-row only when the batch-level parse fails — the
