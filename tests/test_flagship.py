@@ -396,3 +396,30 @@ def test_resume_after_config_change_recomputes_and_purges(
     )
     assert m3["partitions_skipped"] == 4
     assert m3["partitions_written"] == 0
+
+
+def test_purge_removes_torn_manifest_orphan(tmp_path):
+    """A crash that tears a manifest mid-write must not leave its data
+    file behind when a reconfigured run purges: the part id is
+    recoverable from the manifest FILENAME."""
+    from turboxsl_ray.state import lineage
+
+    out = str(tmp_path / "out")
+    lineage.prepare_output_dir(out)
+    tbl = pa.table({"conv_id": ["a"], "v": [1]})
+    lineage.write_partition(out, 7, tbl, config_fingerprint="OLD", input_id="i")
+    # tear the manifest (truncated JSON), data file intact
+    mpath = os.path.join(out, lineage.MANIFEST_DIR, "part-00007.json")
+    with open(mpath, "w") as f:
+        f.write('{"part_id": 7, "outp')
+    dpath = lineage.data_path(out, 7)
+    assert os.path.exists(dpath)
+
+    purged = lineage.purge_mismatched(out, "NEW", "i")
+    assert purged == [7]
+    assert not os.path.exists(dpath)
+    assert not os.path.exists(mpath)
+    # matching partitions survive a purge untouched
+    lineage.write_partition(out, 1, tbl, config_fingerprint="NEW", input_id="i")
+    assert lineage.purge_mismatched(out, "NEW", "i") == []
+    assert os.path.exists(lineage.data_path(out, 1))

@@ -223,3 +223,26 @@ def test_streaming_window_enforces_contiguity():
     stage3(batch([("a", 0), ("a", 1)]))
     out = stage3(batch([("a", 2), ("b", 0)]))
     assert out["lag_value_1"].to_pylist() == [1.0, None]
+
+
+def test_rule_dispatch_null_typed_action_promotes():
+    """A rule whose action emits only None (null-typed array — e.g. a
+    spec rule without 'emit') must blend with typed rules instead of
+    raising an incompatible-types error (review regression)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from turboxsl_ray.stages.dispatch import Rule, RuleSet
+
+    tbl = pa.table({"x": pa.array([1.0, 5.0, 9.0])})
+    rs = RuleSet(
+        [
+            Rule("f", lambda t: np.array([True, False, False]),
+                 lambda t: pa.array([1.5] * t.num_rows)),
+            Rule("n", lambda t: np.array([False, True, False]),
+                 lambda t: pa.array([None] * t.num_rows)),
+        ]
+    )
+    out = rs.apply(tbl, value_col="v")
+    assert out["v"].to_pylist() == [1.5, None, None]
+    assert out["rule"].to_pylist() == ["f", "n", "default"]

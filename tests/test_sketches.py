@@ -126,3 +126,28 @@ def test_q_approx_quantiles_bound(ray_session):
     exact_q, lo, hi = np.array(exact[0]), exact[1], exact[2]
     width = (hi - lo) / 512
     assert (np.abs(df["value_est"].to_numpy() - exact_q) <= width + 1e-6).all()
+
+
+def test_approx_quantiles_tolerates_empty_shard_mix(ray_session, tmp_path):
+    """A lineitem directory mixing an EMPTY parquet shard with real
+    ones (the shape a resumed/filtered input produces) must not crash
+    the min/max pre-pass (review regression: np.min of empty block)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines.relational import q_approx_quantiles
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "lineitem.parquet").mkdir()
+    vals = np.linspace(1.0, 100.0, 500)
+    tbl = pa.table({"l_extendedprice": pa.array(vals)})
+    pq.write_table(tbl, str(d / "lineitem.parquet" / "a.parquet"))
+    pq.write_table(tbl.slice(0, 0), str(d / "lineitem.parquet" / "b.parquet"))
+
+    out = q_approx_quantiles(str(d))
+    assert len(out) > 0
+    # sanity: the median estimate lands inside the value range
+    q50 = float(out[out["q"] == 0.5]["value_est"].iloc[0])
+    assert 1.0 <= q50 <= 100.0
