@@ -552,6 +552,42 @@ def q_zscore(sf_dir: str) -> Dataset:
     )
 
 
+def q_role_transitions(sf_dir: str) -> "pd.DataFrame":
+    """Role-transition statistics: count of (previous role → role)
+    adjacent pairs across all conversations — the Markov-chain summary
+    of dialogue structure (who speaks after whom). Per-block lag after
+    the conv exchange, then partial counts + tiny final combine; the
+    conversation-first turn (no predecessor) is excluded, exactly like
+    SQL LAG's null."""
+    import pandas as pd
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        role = as_array(t["role"])
+        prev = W.take_with_null(role, W.lag_indices(starts, 1))
+        keep = pc.is_valid(prev)
+        return pa.table(
+            {
+                "prev_role": as_array(prev).filter(keep),
+                "role": role.filter(keep),
+            }
+        )
+
+    from turboxsl_ray.stages.aggregate import groupby_small
+
+    ds = transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    agg = groupby_small(
+        ds, keys=["prev_role", "role"], specs={"n": (None, "count")}, int_cols=("n",)
+    )
+    return (
+        pd.DataFrame(agg)
+        .sort_values(["prev_role", "role"])
+        .reset_index(drop=True)
+    )
+
+
 def q_conv_stats(sf_dir: str) -> Dataset:
     """Per-conversation rollup: the conv→turn hierarchy aggregate
     (ancestor-axis analog, SURVEY.md §2.3)."""

@@ -111,6 +111,18 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     ),
+    "role_transitions": (
+        transcript_features.q_role_transitions,
+        f"""{_T},
+        lagged AS (
+            SELECT LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+                   role
+            FROM t
+        )
+        SELECT prev_role, role, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lagged WHERE prev_role IS NOT NULL
+        GROUP BY prev_role, role ORDER BY prev_role, role""",
+    ),
     "zscore": (
         transcript_features.q_zscore,
         f"""{_T}
