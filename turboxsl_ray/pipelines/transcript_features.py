@@ -588,6 +588,50 @@ def q_role_transitions(sf_dir: str) -> "pd.DataFrame":
     )
 
 
+def q_response_latency(sf_dir: str) -> "pd.DataFrame":
+    """Response-latency features: per conversation, how many turns
+    answer a 'view'-role turn and their total/mean latency (the gap to
+    the preceding turn) — the turn-timing feature a dialogue-quality
+    pipeline derives. Sums are exact int64 microseconds; the mean is
+    one division of identical integers on both sides, so float drift
+    vs the oracle is impossible."""
+    import pandas as pd
+
+    def feats(t: pa.Table) -> pa.Table:
+        starts = W.segment_starts_from_arrow(t["conv_id"])
+        role = as_array(t["role"])
+        prev = W.take_with_null(role, W.lag_indices(starts, 1))
+        ts_us = as_array(t["ts"].cast(pa.int64())).to_numpy()
+        gaps, gvalid = W.gap_us(starts, ts_us)
+        is_resp = pc.fill_null(
+            pc.and_(pc.equal(prev, "view"), pa.array(gvalid)), False
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        keep = pa.array(is_resp)
+        return pa.table(
+            {
+                "conv_id": as_array(t["conv_id"]).filter(keep),
+                "gap": pa.array(gaps[is_resp], type=pa.int64()),
+            }
+        )
+
+    from turboxsl_ray.stages.aggregate import groupby_small
+
+    ds = transcripts_pipeline(
+        sf_dir, feats, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    agg = groupby_small(
+        ds,
+        keys=["conv_id"],
+        specs={"n_resp": (None, "count"), "sum_gap_us": ("gap", "sum")},
+        int_cols=("n_resp", "sum_gap_us"),
+    )
+    df = pd.DataFrame(agg)
+    # integer floor-division mean: exact on both sides (a float mean
+    # rounds half-even here but half-away in SQL — ties WILL bite)
+    df["avg_gap_us"] = df["sum_gap_us"] // df["n_resp"]
+    return df.sort_values("conv_id").reset_index(drop=True)
+
+
 def q_conv_stats(sf_dir: str) -> Dataset:
     """Per-conversation rollup: the conv→turn hierarchy aggregate
     (ancestor-axis analog, SURVEY.md §2.3)."""

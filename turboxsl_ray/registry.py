@@ -111,6 +111,22 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     ),
+    "response_latency": (
+        transcript_features.q_response_latency,
+        f"""{_T},
+        lagged AS (
+            SELECT conv_id,
+                   LAG(role) OVER w AS prev_role,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_resp,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+               CAST(SUM(gap) // COUNT(*) AS BIGINT) AS avg_gap_us
+        FROM lagged WHERE prev_role = 'view' AND gap IS NOT NULL
+        GROUP BY conv_id ORDER BY conv_id""",
+    ),
     "role_transitions": (
         transcript_features.q_role_transitions,
         f"""{_T},
