@@ -770,7 +770,6 @@ def q_global_rank(sf_dir: str) -> Dataset:
         key="value",
         tiebreak="event_id",
         descending=True,
-        num_ranges=8,
     )
 
 

@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from turboxsl_ray.context import adaptive_partitions
 from turboxsl_ray.kernels.arrays import as_array
 from turboxsl_ray.stages.aggregate import broadcast, collect_tables
 from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
@@ -37,24 +38,33 @@ from turboxsl_ray.stages.partitioning import map_partitions, partition_by_conv
 RANGE_COL = "__range"
 
 
-def _sample_bounds(ds_factory, keyvals, num_ranges: int, sample_stride: int):
+def _sample_bounds(ds_factory, keyvals, num_ranges: int | None, sample_stride: int):
     """Pass 1a shared by both plans: stride-sample keys per block,
     pick ascending split points (balance heuristic, never
     correctness). Returns (bounds, rid_of) where ``rid_of(t)`` assigns
-    each row its range id via the broadcast bounds."""
+    each row its range id via the broadcast bounds.
+
+    ``num_ranges=None`` sizes the range count from the bytes the
+    sample pass actually scanned (each block reports its ``nbytes``
+    alongside its key samples), so one range ≈ one shuffle partition's
+    worth of data at any input scale — a constant count would put
+    1/constant of a 100 TB input in a single sort task."""
     import ray
 
     def sample_block(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"k": pa.array(keyvals(t)[::sample_stride], type=pa.float64())}
-        )
+        k = keyvals(t)[::sample_stride]
+        nb = np.zeros(len(k), dtype=np.int64)
+        if len(nb):
+            nb[0] = t.nbytes
+        return pa.table({"k": pa.array(k, type=pa.float64()), "nb": pa.array(nb)})
 
+    sampled = collect_tables(map_partitions(ds_factory(), sample_block))
     samples = np.sort(
-        np.concatenate(
-            [t["k"].to_numpy() for t in collect_tables(map_partitions(ds_factory(), sample_block))]
-            or [np.zeros(1)]
-        )
+        np.concatenate([t["k"].to_numpy() for t in sampled] or [np.zeros(1)])
     )
+    if num_ranges is None:
+        total_nb = int(sum(int(t["nb"].to_numpy().sum()) for t in sampled))
+        num_ranges = adaptive_partitions(total_nb)
     qs = np.linspace(0, 1, num_ranges + 1)[1:-1]
     bounds = np.unique(np.quantile(samples, qs)) if len(samples) else np.array([])
     bref = broadcast(bounds)
@@ -84,11 +94,12 @@ def sorted_with_rank(
     key: str,
     tiebreak: str,
     descending: bool = False,
-    num_ranges: int = 8,
+    num_ranges: int | None = None,
     sample_stride: int = 101,
 ) -> Dataset:
     """Rank every row under total order (key, tiebreak); appends an
-    int64 1-based ``rank`` column.
+    int64 1-based ``rank`` column. ``num_ranges=None`` (default)
+    derives the range count from the sampled input bytes.
 
     ``ds_factory``: zero-arg callable returning the input Dataset —
     the plan scans the input twice (sample+count, then place), and a
