@@ -93,6 +93,37 @@ def test_near_dup_clusters_match_union_find(ray_session, chain_dir):
     assert (canon_per_cluster == 1).all()
 
 
+def test_near_dup_clusters_capped_refines_exact(ray_session, chain_dir):
+    """The DF-capped scale path loses only hot-gram EVIDENCE, never
+    invents edges: every capped cluster must sit inside one exact
+    cluster (refinement), and at a cap above the corpus size the two
+    are identical."""
+    from turboxsl_ray.pipelines.corpus import (
+        q_near_dup_clusters,
+        q_near_dup_clusters_capped,
+    )
+
+    exact = (
+        q_near_dup_clusters(chain_dir).to_pandas().set_index("doc_id")["cluster_id"]
+    )
+    # default cap (128) exceeds the 28-doc fixture: identical output
+    capped_default = (
+        q_near_dup_clusters_capped(chain_dir)
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert capped_default.sort_index().equals(exact.sort_index())
+    # an aggressive cap prunes edges — clusters may split, never merge
+    tight = (
+        q_near_dup_clusters(chain_dir, df_cap=3)
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    for cid, members in tight.groupby(tight).groups.items():
+        exact_cids = {int(exact[d]) for d in members}
+        assert len(exact_cids) == 1, f"capped cluster {cid} spans exact clusters"
+
+
 def test_explode_tokens_round_trip(ray_session, chain_dir):
     """Tokens re-joined in ordinal order reproduce the normalized
     text — the explode is lossless up to whitespace runs."""

@@ -116,3 +116,26 @@ def test_cli_query_subcommand(ray_session, tmp_path, capsys):
     assert files
     n = sum(pq.read_table(f).num_rows for f in files)
     assert n == 500
+
+
+def test_map_partitions_serial_override(ray_session):
+    """serial=True (the fork="no" analog) collapses the stage to ONE
+    task over ONE block: fn sees every row in a single call, in input
+    order; without it a multi-block input is seen in pieces."""
+    import ray
+
+    from turboxsl_ray.stages.partitioning import map_partitions
+
+    src = pa.table({"i": pa.array(range(100), pa.int64())})
+    ds = ray.data.from_arrow(src).repartition(8)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "block_rows", pa.array([t.num_rows] * t.num_rows, pa.int64())
+        )
+
+    serial = map_partitions(ds, tag, serial=True).to_pandas()
+    assert (serial["block_rows"] == 100).all()        # one call saw it all
+    assert list(serial["i"]) == list(range(100))      # input order preserved
+    parallel = map_partitions(ds, tag).to_pandas()
+    assert (parallel["block_rows"] < 100).any()       # control: blocks stay split

@@ -227,3 +227,30 @@ def test_rolling_range_matches_brute_force():
         in_win = (seg == seg[i]) & (ts_us <= ts_us[i])
         assert c2[i] == in_win.sum()
         np.testing.assert_allclose(s2[i], vals[in_win].sum(), rtol=1e-12)
+
+
+def test_materialized_derive_matches_fresh(ray_session, tmp_path):
+    """transcripts_pipeline over a registered pre-derived table must be
+    row-identical to the fused derive path (bench hygiene must never
+    change results)."""
+    from turboxsl_ray.pipelines import transcript_features as tf
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return (
+            df[sorted(df.columns)]
+            .sort_values(sorted(df.columns), kind="stable")
+            .reset_index(drop=True)
+        )
+
+    names = ["q_transcripts", "q_lag_lead", "q_sessionize", "q_conv_text"]
+    fresh = {n: canon(getattr(tf, n)(sf)) for n in names}
+    tf.materialize_derived(sf, str(tmp_path / "derived"))
+    try:
+        for n in names:
+            cached = canon(getattr(tf, n)(sf))
+            assert cached.equals(fresh[n]), n
+    finally:
+        tf.clear_derived_cache()

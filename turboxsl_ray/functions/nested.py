@@ -107,13 +107,30 @@ def parse_json_struct(
 def _join_lines(clean: pa.Array) -> bytes:
     """Newline-join a string column into one buffer WITHOUT per-row
     Python strings: wrap the column as a single list element and let
-    Arrow's binary_join do the concatenation in C++."""
+    Arrow's binary_join do the concatenation in C++.
+
+    64-bit (large_string / large_list) offsets throughout, so a block
+    whose joined payload exceeds 2 GiB works; the result bytes come
+    straight off the joined array's data buffer — no Python-str
+    round trip (which would decode + re-encode the whole payload)."""
+    import numpy as np
+
     if len(clean) == 0:
         return b""
-    lst = pa.ListArray.from_arrays(
-        pa.array([0, len(clean)], type=pa.int32()), clean
+    big = pc.cast(clean, pa.large_string())
+    if isinstance(big, pa.ChunkedArray):
+        big = big.combine_chunks()
+    lst = pa.LargeListArray.from_arrays(
+        pa.array([0, len(big)], type=pa.int64()), big
     )
-    return pc.binary_join(lst, "\n")[0].as_py().encode()
+    joined = pc.binary_join(lst, pa.scalar("\n", type=pa.large_string()))
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    offs = np.frombuffer(
+        joined.buffers()[1], dtype=np.int64, count=joined.offset + 2
+    )
+    start, end = int(offs[joined.offset]), int(offs[joined.offset + 1])
+    return joined.buffers()[2].slice(start, end - start).to_pybytes()
 
 
 def _parse_rows_salvage(

@@ -281,12 +281,19 @@ def q_scrub(sf_dir: str) -> Dataset:
 _CLUSTER_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("is_canonical", pa.bool_())]
 )
-def q_near_dup_clusters(sf_dir: str) -> Dataset:
+def q_near_dup_clusters(sf_dir: str, df_cap: int | None = None) -> Dataset:
     """Connected components over the near-dup pair graph: every doc
     gets the MIN doc_id reachable through exact-Jaccard pairs
     (pipelines/text.q_ngram_jaccard, threshold-filtered) as its
     cluster id; ``is_canonical`` marks the one doc per cluster a
     keep-one dedup retains.
+
+    ``df_cap`` bounds the hot-gram m² pair blow-up upstream (grams in
+    more than df_cap documents are pruned before pair emission — see
+    q_ngram_jaccard_capped); the DEFAULT pipeline entry point
+    (q_near_dup_clusters_capped) sets it, and the uncapped call exists
+    only for the SQL-oracle registry entry, where bit-exact parity
+    with the recursive-CTE oracle requires the full pair graph.
 
     The iteration runs on the BSP actor engine (stages/cc.py): edges
     shard ONCE into stateful actors, rounds exchange only label
@@ -299,7 +306,7 @@ def q_near_dup_clusters(sf_dir: str) -> Dataset:
     from turboxsl_ray.stages.join import copartition_join
 
     docs = read_documents(sf_dir, ["doc_id"])
-    pairs = q_ngram_jaccard(sf_dir).materialize()
+    pairs = q_ngram_jaccard(sf_dir, df_cap=df_cap).materialize()
 
     def own_label(t: pa.Table) -> pa.Table:
         ids = as_array(pc.cast(t["doc_id"], pa.int64()))
@@ -341,6 +348,19 @@ def q_near_dup_clusters(sf_dir: str) -> Dataset:
         )
 
     return map_partitions(out, finish)
+
+
+def q_near_dup_clusters_capped(sf_dir: str) -> Dataset:
+    """The 100 TB-default near-dup keep-one dedup: connected
+    components over the DF-CAPPED pair graph (text.NGRAM_DF_CAP).
+    Capping drops only evidence from grams shared by more documents
+    than the cap, so every capped edge is a real near-dup edge and
+    each capped cluster is contained in an exact cluster (refinement
+    pinned by pytest). Rows-only driver check; no SQL oracle —
+    the uncapped ``near_dup_clusters`` entry carries oracle parity."""
+    from turboxsl_ray.pipelines.text import NGRAM_DF_CAP
+
+    return q_near_dup_clusters(sf_dir, df_cap=NGRAM_DF_CAP)
 
 
 QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS, QUALITY_MAX_PUNCT = 5, 2000, 0.1

@@ -723,33 +723,50 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
 # --------------------------------------------------------------------------
 
 def q_simhash(sf_dir: str) -> Dataset:
-    """64-bit SimHash per document over word tokens (hex string)."""
+    """64-bit SimHash per document over word tokens (hex string).
+
+    Fully vectorized: one regex token split for the whole block, one
+    pandas stable 64-bit hash over the flat token column, then 64
+    per-bit segment sums (``np.add.reduceat`` over doc boundaries) —
+    no Python loop over documents or tokens. Memory stays O(tokens):
+    the (tokens x 64) bit matrix is never materialized; each bit lane
+    is an O(tokens) pass."""
+    from turboxsl_ray.kernels.hashing import stable_hash64
+
     ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = as_array(t["text"]).to_pylist()
-        ids = as_array(t["doc_id"]).to_numpy()
-        out = np.empty(len(texts), dtype=np.uint64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for i, s in enumerate(texts):
-            ws = s.split()
-            if not ws:
-                out[i] = 0
-                continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-                    for w in ws
-                ),
-                dtype=np.uint64,
-                count=len(ws),
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "simhash": pa.array([], pa.string())}
             )
-            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            score = (2 * bits - 1).sum(axis=0)
-            out[i] = np.bitwise_or.reduce(
-                np.where(score >= 0, np.uint64(1) << shifts, np.uint64(0))
-            )
-        hexes = [f"{int(v):016x}" for v in out]
+        ids = as_array(pc.cast(t["doc_id"], pa.int64())).to_numpy()
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        lists = as_array(pc.split_pattern_regex(trimmed, r"\s+"))
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = as_array(pc.list_flatten(lists))
+        # empty text splits to [""] — mask zero-length tokens out of
+        # both the bit sums and the majority count (simhash 0, matching
+        # the defined empty-document value)
+        nonempty = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+            > 0
+        ).astype(np.int64)
+        hs = stable_hash64(flat)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        n_tok = np.add.reduceat(nonempty, starts) if len(hs) else np.zeros(len(ids), np.int64)
+        vals = np.zeros(len(ids), dtype=np.uint64)
+        for b in range(64):
+            bitcol = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * nonempty
+            ones = np.add.reduceat(bitcol, starts)
+            vals |= np.where(2 * ones >= n_tok, np.uint64(1) << np.uint64(b), np.uint64(0))
+        vals[n_tok == 0] = 0
+        # vectorized hex rendering: big-endian bytes -> one hexlify ->
+        # fixed-width 16-char slices
+        import binascii
+
+        hx = binascii.hexlify(vals.astype(">u8").tobytes())
+        hexes = np.frombuffer(hx, dtype="S16").astype("U16")
         return pa.table(
             {"doc_id": pa.array(ids, type=pa.int64()), "simhash": pa.array(hexes)}
         )

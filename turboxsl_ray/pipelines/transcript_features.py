@@ -92,12 +92,68 @@ def derive_block(tbl: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+# sf_dir -> parquet dir holding an already-derived transcripts table
+# whose FILES are aligned to conv-hash partitions (one file per final
+# block of transcripts_pipeline). Registered explicitly by
+# materialize_derived(); used only by benchmarking/batch harnesses that
+# run MANY transcript queries over one sf_dir — the product path (and
+# the driver's correctness gate) always derives.
+_DERIVED_DIRS: dict[str, str] = {}
+
+
+def materialize_derived(sf_dir: str, out_dir: str) -> str:
+    """Run the events→transcripts derivation ONCE, write it as
+    conv-partition-aligned parquet shards, and register it so later
+    ``transcripts_pipeline(sf_dir)`` calls skip the events read, the
+    conv hash-shuffle, and the derive (bench hygiene: per-query times
+    then measure the OPERATOR, not the shared derive).
+
+    The no-shuffle read-back relies on one-block-per-file alignment
+    (a conversation lives wholly in one file); callers get a
+    ValueError if any shard approaches the block ceiling, where the
+    reader could split a file mid-conversation."""
+    import os
+
+    from ray.data import DataContext
+
+    transcripts_pipeline(sf_dir).write_parquet(out_dir)
+    ceiling = DataContext.get_current().target_max_block_size or (128 << 20)
+    for name in os.listdir(out_dir):
+        p = os.path.join(out_dir, name)
+        if os.path.isfile(p) and os.path.getsize(p) > ceiling // 2:
+            raise ValueError(
+                f"derived shard {name} is within 2x of the block ceiling; "
+                "the read-back could split it mid-conversation — raise the "
+                "partition count of the derive instead"
+            )
+    _DERIVED_DIRS[sf_dir] = out_dir
+    return out_dir
+
+
+def clear_derived_cache() -> None:
+    _DERIVED_DIRS.clear()
+
+
 def transcripts_pipeline(
     sf_dir: str,
     block_fn: Callable[[pa.Table], pa.Table] | None = None,
     columns: list[str] | None = None,
 ) -> Dataset:
     """events → one conv-hash shuffle → fused derive(+feature) blocks."""
+    cached = _DERIVED_DIRS.get(sf_dir)
+    if cached is not None:
+        import os
+
+        files = [f for f in os.listdir(cached) if f.endswith(".parquet")]
+        # one block per file: files are conv-partition-aligned, so
+        # blocks hold whole conversations without any exchange
+        ds = ray.data.read_parquet(cached, override_num_blocks=max(1, len(files)))
+
+        def reblock(t: pa.Table) -> pa.Table:
+            t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+            return t if block_fn is None else block_fn(t)
+
+        return map_partitions(ds, reblock)
     ds = read_events(sf_dir, columns=columns)
     parts = partition_by_conv(
         ds,

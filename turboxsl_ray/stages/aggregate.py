@@ -169,10 +169,10 @@ def lookup_int_keys(keys: np.ndarray, table_keys: np.ndarray, table_vals: np.nda
 
     pos, found = probe_sorted(table_keys, keys)
     if len(table_keys) == 0:
-        vals = np.zeros(
-            len(keys), dtype=table_vals.dtype if len(table_vals) else np.int64
-        )
-        return vals, found
+        # an empty numpy array still carries its dtype — keep the
+        # placeholder values type-identical to the non-empty path so
+        # callers doing arithmetic before masking never see a dtype flip
+        return np.zeros(len(keys), dtype=table_vals.dtype), found
     return table_vals[pos], found
 
 

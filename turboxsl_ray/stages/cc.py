@@ -26,10 +26,11 @@ Protocol (driver orchestrates, data never touches the driver):
    the driver passes refs, shards fetch peer payloads zero-copy);
    then each shard min-merges what it received and reports how many
    of its labels changed;
-4. stop when nothing changed anywhere. Convergence is O(component
-   diameter) rounds; near-dup families are shallow. For adversarially
-   deep graphs the guard raises — pointer-jumping (label doubling)
-   is the documented scale path if that ever fires.
+4. stop when nothing changed anywhere. Hash-min alone converges in
+   O(component diameter) rounds; the interleaved pointer-jumping
+   (label-doubling) rounds below (``jump_request`` / ``jump_resolve``
+   / ``jump_apply``) cut that to O(log diameter), so adversarially
+   deep path-graph clusters converge too.
 """
 
 from __future__ import annotations

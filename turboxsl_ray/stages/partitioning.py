@@ -67,15 +67,27 @@ def _pin_arrow_threads() -> None:
 def map_partitions(
     ds: Dataset,
     fn: Callable[[pa.Table], pa.Table],
+    *,
+    serial: bool = False,
     **kwargs,
 ) -> Dataset:
     """Apply ``fn`` to each whole block (batch_size=None => one batch
-    per hash partition), zero-copy Arrow in/out."""
+    per hash partition), zero-copy Arrow in/out.
+
+    ``serial=True`` is the engine's analog of the reference's
+    ``fork="no"/"deny"`` per-instruction thread-pool override
+    (/root/reference/src/template_task.c:39-84): the stage collapses
+    to ONE task seeing the whole input as ONE block, so ``fn`` runs
+    exactly once, in input order. Use it for ordering-sensitive
+    debugging or genuinely sequential logic — never on a hot path."""
 
     def wrapped(tbl: pa.Table) -> pa.Table:
         _pin_arrow_threads()
         return fn(tbl)
 
+    if serial:
+        ds = ds.repartition(num_blocks=1)
+        kwargs = {**kwargs, "concurrency": 1}
     return ds.map_batches(
         wrapped,
         batch_size=None,

@@ -107,9 +107,14 @@ def conv_counts(
 
         shuffled = partition_by_conv(partials, 16, keys=[key])
 
-        out_schema = pa.schema([(key, pa.string()), ("n_sum", pa.int64())])
-
         def combine(t: pa.Table) -> pa.Table:
+            # key type comes from the partials' own schema (present
+            # even on empty exchange partitions) — hardcoding a type
+            # here would silently cast non-string keys in this branch
+            # only, diverging from the exact-type non-keep-all path
+            out_schema = pa.schema(
+                [(key, t.schema.field(key).type), ("n_sum", pa.int64())]
+            )
             if t.num_rows == 0:
                 # keep one schema across blocks: empty partitions must
                 # emit (key, n_sum), not the input's (key, n)

@@ -25,6 +25,18 @@ Validity contract (asserted): batches must arrive sorted by
 within one block — both guaranteed by partition_by_conv + sort_block.
 Only PAST-ONLY features are supported: leads are anti-causal and
 cannot stream (the point-in-time discipline, SURVEY.md §2.3).
+
+The reappearance guard is BEST-EFFORT beyond ``finished_cap``: the
+actor remembers only the most recently closed conversations (an LRU,
+default 65,536 — constructor-configurable), so a contract violation
+that splits a conversation across more than ``finished_cap`` closed
+conversations is NOT detected and would silently produce wrong
+lag/session values. A violation that severe requires an upstream
+re-block that scatters a conversation across distant batches; the
+partitioner never does this, and real re-block splits land the
+severed parts near each other, inside the window. Raise the cap (or
+set it to ``None`` for an unbounded, O(#convs)-memory guarantee) when
+auditing an untrusted upstream.
 """
 
 from __future__ import annotations
@@ -42,7 +54,7 @@ class StreamingWindowStage:
     """Callable class for ``map_batches(StreamingWindowStage, ...,
     fn_constructor_kwargs={'spec': spec}, concurrency=N)``."""
 
-    def __init__(self, spec: WindowSpec):
+    def __init__(self, spec: WindowSpec, finished_cap: int | None = 65_536):
         if spec.leads:
             raise ValueError(
                 "leads are anti-causal and cannot stream; use the "
@@ -67,11 +79,13 @@ class StreamingWindowStage:
         # not grow O(#convs) state (the whole point of ring buffers).
         # A re-block split puts the severed parts NEAR each other in
         # the stream, so a recent-window check catches real violations;
-        # beyond the cap the guard is best-effort by design.
+        # beyond the cap the guard is best-effort by design (see module
+        # docstring). finished_cap=None => unbounded deterministic
+        # guard at O(#convs) actor memory.
         from collections import OrderedDict
 
         self._finished: "OrderedDict" = OrderedDict()
-        self._finished_cap = 65_536
+        self._finished_cap = finished_cap
         self._open_conv = None
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -154,8 +168,9 @@ class StreamingWindowStage:
     def _mark_finished(self, conv) -> None:
         self._finished[conv] = None
         self._finished.move_to_end(conv)
-        while len(self._finished) > self._finished_cap:
-            self._finished.popitem(last=False)
+        if self._finished_cap is not None:
+            while len(self._finished) > self._finished_cap:
+                self._finished.popitem(last=False)
 
     def _update_state(self, raw: pa.Table, computed: pa.Table) -> None:
         conv = as_array(raw["conv_id"])

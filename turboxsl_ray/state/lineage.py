@@ -150,6 +150,13 @@ def purge_mismatched(
         out_file = rec.get("output_file") or (
             data_path(out_dir, pid) if pid is not None else None
         )
+        # never follow a manifest-supplied path outside out_dir: a
+        # corrupted (or foreign) manifest naming /etc/... must not turn
+        # the purge into an arbitrary-file delete
+        if out_file:
+            root = os.path.realpath(out_dir)
+            if os.path.commonpath([os.path.realpath(out_file), root]) != root:
+                out_file = data_path(out_dir, pid) if pid is not None else None
         if out_file and os.path.exists(out_file):
             os.remove(out_file)
         os.remove(mpath)
