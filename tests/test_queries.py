@@ -87,7 +87,7 @@ def test_rows_only_queries_run(ray_session):
         "minhash_lsh", "simhash", "lang_id", "ann_lsh_buckets", "ann_ivf",
         "approx_distinct_parts", "ngram_jaccard_capped", "image_stats",
         "winnow_dedup", "approx_quantiles", "heavy_hitters", "audio_stats",
-        "near_dup_clusters_capped",
+        "near_dup_clusters_capped", "minhash_dedup",
     }
     for name in rows_only:
         df = to_pandas(qs[name](SF_DIR))

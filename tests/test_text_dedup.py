@@ -294,3 +294,26 @@ def test_embed_dedup_transitive_chain(ray_session, tmp_path):
     assert got["cluster_id"].tolist()[:3] == [0, 0, 0]
     assert got["cluster_id"].tolist()[3:] == [3, 4, 5]
     assert got["is_canonical"].tolist() == [True, False, False, True, True, True]
+
+
+def test_minhash_dedup_planted(ray_session, dup_dir):
+    """LSH-candidate keep-one dedup: exact copies must collapse to the
+    min id; every cluster edge it asserts must be a real near-dup (no
+    false merges on the 60 unrelated base docs)."""
+    from turboxsl_ray.pipelines.corpus import q_minhash_dedup
+
+    df = q_minhash_dedup(dup_dir).to_pandas().set_index("doc_id")
+    # exact copies: identical signatures land in every band bucket
+    for j in range(5):
+        assert int(df.loc[100 + j, "cluster_id"]) == j
+        assert not bool(df.loc[100 + j, "is_canonical"])
+        assert bool(df.loc[j, "is_canonical"])
+    # near-dups (1 of 30 words changed, est jaccard ~0.9): LSH with
+    # 16 bands x 4 rows finds essentially all of them
+    found = sum(int(df.loc[200 + j, "cluster_id"]) == 10 + j for j in range(5))
+    assert found >= 4
+    # no false merges: unrelated base docs stay their own cluster
+    base = df.loc[[i for i in range(60) if i not in range(10, 15)]]
+    assert (base["cluster_id"] == base.index).all()
+    # exactly one canonical per cluster
+    assert (df.groupby("cluster_id")["is_canonical"].sum() == 1).all()

@@ -302,11 +302,20 @@ def q_near_dup_clusters(sf_dir: str, df_cap: int | None = None) -> Dataset:
     corpus-scale; docs outside the pair graph never enter the loop —
     they join the labels at the end (left join + fill-own-id)."""
     from turboxsl_ray.pipelines.text import q_ngram_jaccard
+
+    pairs = q_ngram_jaccard(sf_dir, df_cap=df_cap).materialize()
+    return _cluster_docs(sf_dir, pairs)
+
+
+def _cluster_docs(sf_dir: str, pairs: Dataset) -> Dataset:
+    """Shared cluster assembly: BSP connected components over a
+    materialized (doc_a, doc_b, ...) pair Dataset, then a left join
+    back onto the full documents id set (docs outside the pair graph
+    label themselves)."""
     from turboxsl_ray.stages.cc import connected_components
     from turboxsl_ray.stages.join import copartition_join
 
     docs = read_documents(sf_dir, ["doc_id"])
-    pairs = q_ngram_jaccard(sf_dir, df_cap=df_cap).materialize()
 
     def own_label(t: pa.Table) -> pa.Table:
         ids = as_array(pc.cast(t["doc_id"], pa.int64()))
@@ -348,6 +357,21 @@ def q_near_dup_clusters(sf_dir: str, df_cap: int | None = None) -> Dataset:
         )
 
     return map_partitions(out, finish)
+
+
+def q_minhash_dedup(sf_dir: str) -> Dataset:
+    """Keep-one near-dup dedup over the MinHash+LSH candidate graph —
+    the composition a 100 TB curation pipeline actually runs: the
+    exact inverted-index Jaccard is the oracle-grade path, LSH is the
+    linear-cost one (signature pass + band-bucket shuffle, no gram
+    index). Same BSP connected-components engine and keep-one contract
+    as q_near_dup_clusters. Rows-only driver check; recall of the LSH
+    clusters vs the exact clusters is pinned by pytest on planted
+    near-dups."""
+    from turboxsl_ray.pipelines.text import q_minhash_lsh
+
+    pairs = q_minhash_lsh(sf_dir).materialize()
+    return _cluster_docs(sf_dir, pairs)
 
 
 def q_near_dup_clusters_capped(sf_dir: str) -> Dataset:

@@ -732,6 +732,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         FROM walk GROUP BY node""",
     ),
     "near_dup_clusters_capped": (corpus.q_near_dup_clusters_capped, None),  # df-capped scale path; refinement pinned by tests
+    "minhash_dedup": (corpus.q_minhash_dedup, None),  # LSH-candidate keep-one dedup; recall pinned by tests
     "ngram_jaccard_capped": (text.q_ngram_jaccard_capped, None),  # df-pruned recall, subset pinned by tests
     "winnow_dedup": (text.q_winnow_dedup, None),  # rolling-hash fingerprints; guarantees pinned by tests
     "minhash_lsh": (text.q_minhash_lsh, None),  # LSH not SQL-expressible
@@ -817,6 +818,7 @@ _DRIVER_PRIORITY = [
     "curate_corpus",
     "near_dup_clusters",
     "near_dup_clusters_capped",
+    "minhash_dedup",
     "ngram_jaccard_capped",
     "winnow_dedup",
     "embed_dedup",
