@@ -187,28 +187,44 @@ def q_dedup_exact(sf_dir: str) -> Dataset:
 # n-gram shingles + exact Jaccard (inverted index)
 # --------------------------------------------------------------------------
 
-def _doc_shingles(texts: list[str], n: int = NGRAM):
-    """Per-doc DISTINCT word-n-gram hash arrays (uint64) + sizes.
+def _doc_shingles(t: pa.Table, n: int = NGRAM):
+    """Per-doc DISTINCT word-n-gram hashes for a documents block,
+    fully vectorized (no Python loop over docs or grams): one regex
+    token split, one element-wise n-way join building every gram
+    string, one pandas stable 64-bit hash over the flat gram column,
+    then a (doc, hash) lexsort for per-doc distinctness.
+
+    Returns ``(doc_ids, flat_hashes, sizes)`` where ``flat_hashes``
+    (uint64) holds each doc's distinct gram hashes contiguously in doc
+    order and ``sizes[i]`` is doc i's distinct-gram count.
 
     Tokenization contract (== the SQL oracle): split trimmed text on
     whitespace runs; shingle = n consecutive words joined by ' '.
     """
-    hashes = []
-    sizes = np.empty(len(texts), dtype=np.int64)
-    for i, s in enumerate(texts):
-        ws = s.strip().split()
-        if len(ws) < n:
-            grams: set[bytes] = set()
-        else:
-            grams = {" ".join(ws[j : j + n]).encode() for j in range(len(ws) - n + 1)}
-        h = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(g, digest_size=8).digest(), "little") for g in grams),
-            dtype=np.uint64,
-            count=len(grams),
-        )
-        hashes.append(h)
-        sizes[i] = len(grams)
-    return hashes, sizes
+    from turboxsl_ray.kernels.hashing import stable_hash64
+
+    ids = as_array(pc.cast(t["doc_id"], pa.int64())).to_numpy()
+    trimmed = pc.utf8_trim_whitespace(t["text"])
+    lists = as_array(pc.split_pattern_regex(trimmed, r"\s+"))
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = as_array(pc.list_flatten(lists))
+    gcounts = np.maximum(lens - (n - 1), 0)
+    total = int(gcounts.sum())
+    if total == 0:
+        return ids, np.empty(0, dtype=np.uint64), np.zeros(len(ids), np.int64)
+    tok_starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    gram_starts = np.concatenate(([0], np.cumsum(gcounts[:-1])))
+    doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), gcounts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(gram_starts, gcounts)
+    p = tok_starts[doc_rep] + within
+    parts = [flat.take(pa.array(p + j)) for j in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    h = stable_hash64(gram)
+    order = np.lexsort((h, doc_rep))
+    d_s, h_s = doc_rep[order], h[order]
+    first = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+    sizes = np.bincount(d_s[first], minlength=len(ids)).astype(np.int64)
+    return ids, h_s[first], sizes
 
 
 def _shingle_rows_block(t: pa.Table) -> pa.Table:
@@ -217,15 +233,12 @@ def _shingle_rows_block(t: pa.Table) -> pa.Table:
     Each doc's distinct-gram count rides along on every inverted-index
     row (8 bytes/row), so the Jaccard denominator needs NO second
     shingle pass and NO driver-side sizes table."""
-    texts = as_array(t["text"]).to_pylist()
-    ids = as_array(t["doc_id"]).to_numpy()
-    hashes, sizes = _doc_shingles(texts)
-    g = np.concatenate(hashes) if hashes else np.empty(0, dtype=np.uint64)
+    ids, flat_h, sizes = _doc_shingles(t)
     d = np.repeat(ids, sizes)
     nd = np.repeat(sizes, sizes)
     return pa.table(
         {
-            "g": pa.array(g.astype(np.int64)),
+            "g": pa.array(flat_h.astype(np.int64)),
             "doc_id": pa.array(d, type=pa.int64()),
             "nd": pa.array(nd, type=pa.int64()),
         }
@@ -493,17 +506,25 @@ def _minhash_params(seed: int = 7):
     return a, b
 
 
-def _signatures(texts: list[str]):
-    """(n_docs, K) uint64 MinHash signatures, vectorized per doc."""
-    hashes, sizes = _doc_shingles(texts)
+def _signatures(t: pa.Table):
+    """(n_docs, K) uint64 MinHash signatures for a documents block.
+
+    Vectorized across the WHOLE block: the flat distinct-gram hashes
+    from _doc_shingles go through K universal-hash lanes, each an
+    O(grams) pass with a per-doc ``np.minimum.reduceat`` — no Python
+    loop over docs, and never a (grams x K) matrix in memory."""
+    _ids, flat_h, sizes = _doc_shingles(t)
     a, b = _minhash_params()
-    sigs = np.full((len(texts), MINHASH_K), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, h in enumerate(hashes):
-        if len(h) == 0:
-            continue
+    n_docs = len(sizes)
+    sigs = np.full((n_docs, MINHASH_K), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(flat_h) == 0:
+        return sigs
+    nz = sizes > 0
+    seg_starts = np.concatenate(([0], np.cumsum(sizes[:-1])))[nz]
+    for k in range(MINHASH_K):
         # universal hash: (a*g + b) mod 2^64 (cheap, adequate spread)
-        hv = h[:, None] * a[None, :] + b[None, :]
-        sigs[i] = hv.min(axis=0)
+        hv = flat_h * a[k] + b[k]
+        sigs[nz, k] = np.minimum.reduceat(hv, seg_starts)
     return sigs
 
 
@@ -559,18 +580,20 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
     K = MINHASH_K
 
     def sig_block(t: pa.Table) -> pa.Table:
-        texts = as_array(t["text"]).to_pylist()
-        ids = as_array(t["doc_id"]).to_numpy()
-        sigs = _signatures(texts)
+        ids = as_array(pc.cast(t["doc_id"], pa.int64())).to_numpy()
+        sigs = _signatures(t)
         # binary (not fixed_size_list): Arrow's hash join can't carry
-        # list payloads, and 512-byte binaries decode zero-copy-ish
+        # list payloads, and 512-byte binaries decode zero-copy-ish.
+        # Built straight from the contiguous (n, K) uint64 buffer —
+        # fixed-width rows mean offsets are just an arange.
+        n = len(ids)
+        offs = np.arange(n + 1, dtype=np.int32) * (K * 8)
+        sig_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(sigs))],
+        )
         return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "sig": pa.array(
-                    [sigs[i].tobytes() for i in range(len(ids))], type=pa.binary()
-                ),
-            }
+            {"doc_id": pa.array(ids, type=pa.int64()), "sig": sig_arr}
         )
 
     # computed once, reused by band emission AND the verify join-back
