@@ -96,26 +96,34 @@ def synth_transcripts(
     is_tool_turn = role == "tool"
     tool_vals = TOOLS[(turn_idx + conv_ord) % len(TOOLS)]
     junk = rng.integers(0, 1_000_000, size=n)
-    text = np.array(
-        [
-            ""
-            if (j % 17 == 0)
-            else f"t-{c}-{t}-é中{j:06d}"
-            for c, t, j in zip(conv_col, turn_idx, junk)
-        ],
-        dtype=object,
+    # text = "" where j % 17 == 0 else f"t-{conv}-{turn}-é中{j:06d}",
+    # built with Arrow kernels — the per-row f-string loop took ~20 min
+    # at the 83M-turn scaling size and dominated cold-cache bench setup
+    import pyarrow.compute as pc
+
+    conv_arr = pa.array(conv_col, type=pa.string())
+    joined = pc.binary_join_element_wise(
+        "t-",
+        conv_arr,
+        "-",
+        pc.cast(pa.array(turn_idx), pa.string()),
+        "-é中",
+        pc.utf8_lpad(pc.cast(pa.array(junk), pa.string()), 6, "0"),
+        "",
     )
+    text_arr = pc.if_else(pa.array(junk % 17 == 0), "", joined)
     value = np.round(rng.normal(50.0, 15.0, size=n), 4)
 
     tbl = pa.table(
         {
-            "conv_id": pa.array(conv_col, type=pa.string()),
+            "conv_id": conv_arr,
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
-            "text": pa.array(text, type=pa.string()),
-            "tool": pa.array(
-                [t if it else None for t, it in zip(tool_vals, is_tool_turn)],
-                type=pa.string(),
+            "text": text_arr,
+            "tool": pc.if_else(
+                pa.array(is_tool_turn),
+                pa.array(tool_vals, type=pa.string()),
+                pa.scalar(None, pa.string()),
             ),
             "ts": pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us")),
             "value": pa.array(value, type=pa.float64()),
