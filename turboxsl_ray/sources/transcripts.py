@@ -102,16 +102,23 @@ def synth_transcripts(
     import pyarrow.compute as pc
 
     conv_arr = pa.array(conv_col, type=pa.string())
-    joined = pc.binary_join_element_wise(
-        "t-",
-        conv_arr,
-        "-",
-        pc.cast(pa.array(turn_idx), pa.string()),
-        "-é中",
-        pc.utf8_lpad(pc.cast(pa.array(junk), pa.string()), 6, "0"),
-        "",
-    )
-    text_arr = pc.if_else(pa.array(junk % 17 == 0), "", joined)
+    # chunked build: one 32-bit utf8 array would overflow 2 GiB of
+    # offsets at the 83M-turn bench size
+    chunk = 8_000_000
+    text_chunks = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        joined = pc.binary_join_element_wise(
+            "t-",
+            conv_arr.slice(lo, hi - lo),
+            "-",
+            pc.cast(pa.array(turn_idx[lo:hi]), pa.string()),
+            "-é中",
+            pc.utf8_lpad(pc.cast(pa.array(junk[lo:hi]), pa.string()), 6, "0"),
+            "",
+        )
+        text_chunks.append(pc.if_else(pa.array(junk[lo:hi] % 17 == 0), "", joined))
+    text_arr = pa.chunked_array(text_chunks)
     value = np.round(rng.normal(50.0, 15.0, size=n), 4)
 
     tbl = pa.table(
@@ -147,8 +154,15 @@ def synth_asof_side(
     One row per (conv_id, ts) after dedup-by-max is NOT enforced here —
     tie semantics are part of what tests cover.
     """
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng(seed)
-    convs = np.array(sorted(set(transcripts["conv_id"].to_pylist())))
+    # vectorized distinct+sort (a to_pylist over the 83M-turn bench
+    # table took minutes); np.sort on the ASCII conv ids matches the
+    # original sorted(set(...)) ordering exactly
+    convs = np.sort(
+        pc.unique(transcripts["conv_id"]).to_numpy(zero_copy_only=False)
+    )
     keep = rng.random(len(convs)) >= absent_frac
     convs = convs[keep]
     ts_all = transcripts["ts"].cast(pa.int64()).to_numpy()
