@@ -921,3 +921,59 @@ def q_token_shards(sf_dir: str, budget: int = SHARD_TOKEN_BUDGET) -> Dataset:
         )
 
     return map_partitions(ranked, finish)
+
+
+_PACK_SCHEMA = pa.schema(
+    [
+        ("shard_id", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("packed_text", pa.string()),
+    ]
+)
+
+
+def q_pack_sequences(sf_dir: str, budget: int = SHARD_TOKEN_BUDGET) -> Dataset:
+    """Sequence packing for LLM training: concatenate each token-budget
+    shard's documents (doc-id order) into one ~budget-token training
+    sequence.
+
+    Plan: the (doc_id, shard_id) assignment comes from q_token_shards'
+    distributed prefix sum (two-int rows — the text never enters that
+    exchange); the fat text then moves exactly twice — a co-partitioned
+    equi-join back onto documents by doc_id, then one shard_id exchange
+    — and each shard's string is built with the zero-copy
+    ListArray + binary_join idiom (one C++ concat per block, no Python
+    row loop). Broadcast would be wrong here: the assignment table is
+    ~16 B/doc, i.e. tens of GB at 10^12 tokens."""
+    from turboxsl_ray.stages.join import copartition_join
+
+    shards = q_token_shards(sf_dir, budget=budget).materialize()
+    docs = read_documents(sf_dir, ["doc_id", "text"], spread=True)
+    np_join = partitions_for_input(f"{sf_dir}/documents.parquet")
+    joined = copartition_join(docs, shards, on="doc_id", num_partitions=np_join)
+    by_shard = partition_by_conv(joined, np_join, keys=["shard_id"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "shard_id" not in t.column_names:
+            return _PACK_SCHEMA.empty_table()
+        t = t.sort_by([("shard_id", "ascending"), ("doc_id", "ascending")])
+        sid = as_array(pc.cast(t["shard_id"], pa.int64())).to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], sid[1:] != sid[:-1])))
+        offsets = np.append(starts, t.num_rows).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), as_array(t["text"])
+        )
+        ntok = as_array(pc.cast(t["n_tokens"], pa.int64())).to_numpy()
+        csum = np.concatenate(([0], np.cumsum(ntok)))
+        return pa.table(
+            {
+                "shard_id": pa.array(sid[starts]),
+                "n_docs": pa.array(np.diff(offsets).astype(np.int64)),
+                "n_tokens": pa.array(csum[offsets[1:]] - csum[offsets[:-1]]),
+                "packed_text": as_array(pc.binary_join(lists, " ")),
+            },
+            schema=_PACK_SCHEMA,
+        )
+
+    return map_partitions(by_shard, pack)

@@ -670,6 +670,26 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   CAST(prefix // 1024 AS BIGINT) AS shard_id
            FROM c""",
     ),
+    "pack_sequences": (
+        corpus.q_pack_sequences,
+        r"""WITH ws AS (
+              SELECT doc_id, text,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, text, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM ws
+            )
+           SELECT CAST(prefix // 1024 AS BIGINT) AS shard_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                  string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+           FROM c GROUP BY shard_id""",
+    ),
     "decontaminate": (
         corpus.q_decontaminate,
         r"""WITH ws AS (
@@ -814,6 +834,7 @@ _DRIVER_PRIORITY = [
     "lm_score",
     "repetition",
     "token_shards",
+    "pack_sequences",
     "decontaminate",
     "curate_corpus",
     "near_dup_clusters",
