@@ -304,6 +304,81 @@ def q_check_rights(sf_dir: str) -> Dataset:
     return map_partitions(cust, annotate)
 
 
+def q_url_code(sf_dir: str) -> Dataset:
+    """``ltr:url_code`` (the reference's hottest function — 2132
+    production calls, functions.c:1345) as a driver-checked query: a
+    read-through cached lookup (stages/cached_lookup.py) resolving a
+    deterministic 8-hex code per user through per-actor LRU → shared
+    store actor → compute fn. The compute fn runs once per DISTINCT
+    missing key (events repeat users heavily, so the cache levels do
+    real work); the oracle computes the same code directly."""
+    import hashlib
+
+    from turboxsl_ray.stages.cached_lookup import CachedLookupStage, SharedStore
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    store = SharedStore.remote()
+
+    def compute(keys: list) -> list:
+        return [hashlib.md5(f"u{k}".encode()).hexdigest()[:8] for k in keys]
+
+    out = ds.map_batches(
+        CachedLookupStage,
+        fn_constructor_kwargs=dict(
+            key_col="user_id", out_col="url_code",
+            compute_fn=compute, store=store,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": as_array(pc.cast(t["event_id"], pa.int64())),
+                "user_id": as_array(pc.cast(t["user_id"], pa.int64())),
+                "url_code": as_array(t["url_code"]),
+            }
+        )
+
+    return map_partitions(out, finish)
+
+
+LOC_FORMS = ("item-one", "item-few", "item-many")
+
+
+def q_localized_counts(sf_dir: str) -> Dataset:
+    """``ltr:__ln`` plural-aware localization as a driver-checked
+    query: each event's count (event_id % 105 — covers every Slavic
+    plural class incl. the 11-14 teens) picks one of three message
+    forms via the vectorized 3-form rule
+    (functions/localization.plural_ru) and the label is assembled with
+    Arrow kernels ("{n} form"). The oracle mirrors the rule as a CASE
+    cascade."""
+    from turboxsl_ray.functions.localization import plural_ru
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    forms = np.array(LOC_FORMS)
+
+    def localize(t: pa.Table) -> pa.Table:
+        eid = as_array(pc.cast(t["event_id"], pa.int64())).to_numpy()
+        n = eid % 105
+        form = plural_ru(n)
+        label = pc.binary_join_element_wise(
+            pa.array(n.astype(str)), pa.array(forms[form]), " "
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "n": pa.array(n),
+                "label": as_array(label),
+            }
+        )
+
+    return map_partitions(ds, localize)
+
+
 VERISTAT_CONFIG = {"click": 1.5, "view": 0.25, "purchase": 10.0}
 
 

@@ -316,6 +316,26 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                             ELSE 1.0 END AS vscore
            FROM events""",
     ),
+    "url_code": (
+        relational.q_url_code,
+        """SELECT CAST(event_id AS BIGINT) AS event_id,
+                  CAST(user_id AS BIGINT) AS user_id,
+                  substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 8) AS url_code
+           FROM events""",
+    ),
+    "localized_counts": (
+        relational.q_localized_counts,
+        """SELECT CAST(event_id AS BIGINT) AS event_id,
+                  CAST(event_id % 105 AS BIGINT) AS n,
+                  CAST(event_id % 105 AS VARCHAR) || ' ' ||
+                  CASE WHEN (event_id % 105) % 10 = 1 AND (event_id % 105) % 100 != 11
+                       THEN 'item-one'
+                       WHEN (event_id % 105) % 10 BETWEEN 2 AND 4
+                            AND NOT ((event_id % 105) % 100 BETWEEN 12 AND 14)
+                       THEN 'item-few'
+                       ELSE 'item-many' END AS label
+           FROM events""",
+    ),
     "sample_hash": (
         relational.q_sample_hash,
         """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
@@ -856,6 +876,9 @@ _DRIVER_PRIORITY = [
     "lang_id",
     "ann_lsh_buckets",
     "ann_ivf",
+    # new in round 3
+    "url_code",
+    "localized_counts",
 ]
 
 REGISTRY = {
