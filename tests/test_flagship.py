@@ -423,3 +423,59 @@ def test_purge_removes_torn_manifest_orphan(tmp_path):
     lineage.write_partition(out, 1, tbl, config_fingerprint="NEW", input_id="i")
     assert lineage.purge_mismatched(out, "NEW", "i") == []
     assert os.path.exists(lineage.data_path(out, 1))
+
+
+def test_purge_never_follows_manifest_path_outside_out_dir(tmp_path):
+    """A corrupted/foreign manifest naming a path outside out_dir must
+    not turn the purge into an arbitrary-file delete: the purge falls
+    back to the canonical rebuilt path and leaves the foreign file."""
+    import json
+
+    from turboxsl_ray.state import lineage
+
+    out = str(tmp_path / "out")
+    lineage.prepare_output_dir(out)
+    victim = tmp_path / "unrelated.parquet"
+    victim.write_bytes(b"precious")
+    tbl = pa.table({"conv_id": ["a"], "v": [1]})
+    lineage.write_partition(out, 3, tbl, config_fingerprint="OLD", input_id="i")
+    mpath = os.path.join(out, lineage.MANIFEST_DIR, "part-00003.json")
+    rec = json.load(open(mpath))
+    rec["output_file"] = str(victim)  # hostile/corrupt manifest
+    with open(mpath, "w") as f:
+        json.dump(rec, f)
+
+    purged = lineage.purge_mismatched(out, "NEW", "i")
+    assert purged == [3]
+    assert victim.exists()                              # foreign file untouched
+    assert not os.path.exists(lineage.data_path(out, 3))  # canonical orphan gone
+    assert not os.path.exists(mpath)
+
+
+def test_streaming_window_unbounded_guard(ray_session):
+    """finished_cap=None keeps the reappearance guard deterministic:
+    a conversation resurfacing after ANY number of closed conversations
+    raises instead of silently producing wrong state-carried values."""
+    from turboxsl_ray.stages.window_stage import WindowSpec
+    from turboxsl_ray.stages.streaming_window import StreamingWindowStage
+
+    spec = WindowSpec(lags=[("value", 1)])
+    stage = StreamingWindowStage(spec, finished_cap=None)
+
+    def batch(conv, vals):
+        return pa.table(
+            {
+                "conv_id": pa.array([conv] * len(vals)),
+                "turn_idx": pa.array(range(len(vals)), pa.int32()),
+                "ts": pa.array([1000 * (i + 1) for i in range(len(vals))], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array([float(v) for v in vals]),
+            }
+        )
+
+    stage(batch("c0", [1, 2]))
+    for i in range(1, 300):  # far past any would-be LRU window
+        stage(batch(f"c{i}", [1.0]))
+    with pytest.raises(ValueError, match="reappeared"):
+        stage(batch("c0", [3]))
