@@ -226,9 +226,27 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _cpu_times() -> dict:
+    """Whole-VM cpu-seconds by bucket from /proc/stat (for annotating
+    measurements with host contention — steal appears on this VM only
+    UNDER LOAD, so an idle pre-check does not clear a window)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    hz = os.sysconf("SC_CLK_TCK")
+    keys = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    return {k: int(v) / hz for k, v in zip(keys, parts[1:9])}
+
+
 def _headline_subprocess(num_cpus: int, flag: str, attempts: int = 2) -> dict:
-    """Best-of-N fresh-process headline run (local-mode runs are noisy)."""
+    """Best-of-N fresh-process headline run (local-mode runs are noisy).
+
+    The result carries whole-VM busy/steal averages measured across
+    the attempts: a scaling reading taken while the hypervisor caps
+    the VM (BASELINE.md round-3 forensics — flat throughput at every
+    width, steal 3-6 CPUs, 7-10x kernel time) is identifiable from the
+    JSON alone."""
     best = None
+    c0, t0 = _cpu_times(), time.time()
     for _ in range(attempts):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
         proc = subprocess.run(
@@ -247,6 +265,15 @@ def _headline_subprocess(num_cpus: int, flag: str, attempts: int = 2) -> dict:
                             > best["headline"]["throughput_turns_per_s"]):
             best = r
         time.sleep(10)  # let the previous local cluster fully tear down
+    c1, dt = _cpu_times(), time.time() - t0
+    d = {k: c1[k] - c0[k] for k in c0}
+    best["host"] = {
+        "busy_cpus_avg": round(
+            (d["user"] + d["nice"] + d["system"] + d["irq"] + d["softirq"]) / dt, 2
+        ),
+        "steal_cpus_avg": round(d["steal"] / dt, 2),
+        "system_cpu_s": round(d["system"], 1),
+    }
     return best
 
 
@@ -264,10 +291,12 @@ def scaling_report() -> dict:
     synth_input_dir(SCALING_CONVS)  # warm the caches; generation not billed
     synth_input_dir(WEAK_CONVS)
     thr = {}
+    host = {}
     rows = None
     for n in (4, 8, 16, 32):
         best = _headline_subprocess(n, "--scale-input")
         thr[n] = best["headline"]["throughput_turns_per_s"]
+        host[n] = best.get("host", {})
         rows = best["headline"]["rows"]
     weak8 = _headline_subprocess(8, "--weak-input")
     w8 = weak8["headline"]["throughput_turns_per_s"]
@@ -282,10 +311,11 @@ def scaling_report() -> dict:
             "8->32": round(eff_8_32, 3),
         },
         "throughput_by_cpus": {str(k): v for k, v in thr.items()},
+        "host_by_cpus": {str(k): v for k, v in host.items()},
         "rows": rows,
         "weak_throughput_8cpu": w8,
         "weak_efficiency": round(thr[32] / (4 * w8), 3),
-        "note": "4->16 is the primary N-vs-4N pair: at 32 CPUs (= all physical cores) Ray's shared raylet/object-store/driver compete with task slots, which a multi-node cluster would not; see BASELINE.md",
+        "note": "4->16 is the primary N-vs-4N pair: at 32 CPUs (= all physical cores) Ray's shared raylet/object-store/driver compete with task slots, which a multi-node cluster would not; see BASELINE.md. If host_by_cpus shows steal_cpus_avg >~1.5 or flat throughput with growing busy width, the window was hypervisor-capped (BASELINE.md round-3 forensics) and the efficiencies are not engine measurements.",
     }
 
 
