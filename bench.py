@@ -69,14 +69,17 @@ def _init_ray(num_cpus: int) -> None:
     from turboxsl_ray.context import tune_context
 
     tune_context()
-    # ONE aggregator policy at every cluster size — half the CPUs as
-    # aggregator actors, each pinned to exactly 1 CPU. Without the
-    # per-partition override, aggregators at small N request more CPU
-    # than the whole cluster and the shuffle deadlocks. (32-CPU
-    # throughput is noise-bound ~370-590k turns/s on this shared VM
-    # regardless of aggregator config.)
+    # ONE aggregator policy at every cluster size — a QUARTER of the
+    # CPUs as aggregator actors, each pinned to exactly 1 CPU. Without
+    # the per-partition override, aggregators at small N request more
+    # CPU than the whole cluster and the shuffle deadlocks. Round 3
+    # measured cpus//2 map-starving the pipeline (busy 3.7 of 8 CPUs;
+    # 252k turns/s at 8/16/32 alike on the 83M-turn input) while
+    # cpus//4 lifted the same runs to 293-323k (8 CPUs) and 373k
+    # (16 CPUs) — aggregators are mostly-idle mailboxes, map slots are
+    # the binding resource.
     ctx = DataContext.get_current()
-    aggs = max(2, num_cpus // 2)
+    aggs = max(2, num_cpus // 4)
     ctx.max_hash_shuffle_aggregators = aggs
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
         aggs / NUM_PARTITIONS

@@ -69,13 +69,16 @@ def tune_context(
 
     if ray.is_initialized():
         # ONE uniform shuffle-aggregator policy (same as bench.py's):
-        # CPUs/2 aggregator actors, each 1 CPU. Ray's default cap
+        # CPUs/4 aggregator actors, each 1 CPU. Ray's default cap
         # over-provisions aggregator actors on a small/medium node —
         # more aggregators than cores multiplies actor startup +
         # context-switch cost into every exchange (measured 3-5x
-        # per-query wall at 32 CPUs).
+        # per-query wall at 32 CPUs). Round 3 dropped CPUs/2 -> CPUs/4:
+        # aggregators are mostly-idle mailboxes and the bigger
+        # reservation starved map slots (flagship 252k -> 293-373k
+        # turns/s at 8-16 CPUs on the 83M-turn input).
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
     if preserve_order is not None:
