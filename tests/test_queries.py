@@ -84,10 +84,10 @@ def test_rows_only_queries_run(ray_session):
     sqls = registry.oracle_sql()
     rows_only = [n for n in qs if n not in sqls]
     assert set(rows_only) == {
-        "minhash_lsh", "simhash", "lang_id", "ann_lsh_buckets", "ann_ivf",
-        "approx_distinct_parts", "ngram_jaccard_capped", "image_stats",
-        "winnow_dedup", "approx_quantiles", "heavy_hitters", "audio_stats",
-        "near_dup_clusters_capped", "minhash_dedup",
+        "minhash_lsh", "simhash", "ann_lsh_buckets", "ann_ivf",
+        "approx_distinct_parts", "image_stats",
+        "approx_quantiles", "heavy_hitters", "audio_stats",
+        "minhash_dedup",
     }
     for name in rows_only:
         df = to_pandas(qs[name](SF_DIR))

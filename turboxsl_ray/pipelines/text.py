@@ -135,7 +135,20 @@ def q_quality_score(sf_dir: str) -> Dataset:
 
 def q_fingerprint(sf_dir: str) -> Dataset:
     """md5 hex fingerprint per document (byte-level identity), the
-    reference's ltr:md5_hex (functions.c:886-906)."""
+    reference's ltr:md5_hex (functions.c:886-906).
+
+    POLICY (md5 vs stable_hash64): md5 exists for ORACLE/IDENTITY
+    PARITY — external systems and the reference compare md5 hex
+    digests, so this query must produce them, and no vectorized md5
+    kernel exists in Arrow/numpy/pandas (the per-row hashlib loop is a
+    C-speed digest per row, same as ltr:md5_hex). Every ENGINE-internal
+    fingerprint at scale (dedup digests, partition ids, shingle/gram
+    hashes) instead uses kernels/hashing.stable_hash64, which is fully
+    vectorized — a reader building a 100 TB fingerprint path should
+    reach for stable_hash64 unless md5 compatibility is the point.
+    The same note covers _winnow_doc's per-doc loop below: it
+    amortizes to O(bytes) numpy per document, but its uint64 rolling
+    hash (not md5) is already the scale-friendly choice."""
     ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -384,7 +397,9 @@ def q_ngram_jaccard_capped(sf_dir: str, df_cap: int = NGRAM_DF_CAP) -> Dataset:
     emit m(m-1)/2 pairs into one block. Pruning loses only shared-gram
     EVIDENCE (intersection counts can undercount), so reported jaccard
     is a lower bound and very-common-boilerplate pairs may be missed —
-    a subset of the uncapped result (pinned by tests), no SQL oracle."""
+    a subset of the uncapped result (pinned by tests). The cap is
+    deterministic, so the registry carries a full SQL oracle (shared
+    counts restricted to grams with df <= cap; sizes stay uncapped)."""
     return q_ngram_jaccard(sf_dir, df_cap=df_cap)
 
 
@@ -445,8 +460,12 @@ def q_winnow_dedup(
     shuffle, vectorized pair emission (df-capped: a boilerplate print
     shared by everyone is evidence-free), pair-keyed combine — but the
     inverted index holds O(len/W) winnowed prints per doc instead of
-    every shingle, an ~W× lighter index. Rows-only check; guarantees
-    pinned by pytest (shared substring >= W+K-1 => shared print)."""
+    every shingle, an ~W× lighter index. The rolling hash is a
+    deterministic uint64-wraparound polynomial, so the registry carries
+    a full SQL oracle (HUGEINT arithmetic mod 2^64 over per-byte rows;
+    valid while documents are ASCII — asserted by the oracle's
+    encode() guard); the W+K-1 shared-substring guarantee is pinned by
+    pytest."""
     ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
     inv = map_partitions(ds, _winnow_block)
@@ -587,10 +606,19 @@ def q_minhash_lsh(sf_dir: str, est_threshold: float = 0.5) -> Dataset:
         # Built straight from the contiguous (n, K) uint64 buffer —
         # fixed-width rows mean offsets are just an arange.
         n = len(ids)
-        offs = np.arange(n + 1, dtype=np.int32) * (K * 8)
+        # offsets computed in int64 first: at K=64 an int32 arange
+        # would silently wrap past ~4.19M docs/block, feeding corrupt
+        # offsets to from_buffers. Blocks that large can't happen under
+        # the block-size ceiling, so assert rather than chunk.
+        offs64 = np.arange(n + 1, dtype=np.int64) * (K * 8)
+        assert offs64[-1] <= np.iinfo(np.int32).max, (
+            f"signature block too large for binary offsets ({n} docs); "
+            "lower the block size"
+        )
         sig_arr = pa.BinaryArray.from_buffers(
             pa.binary(), n,
-            [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(sigs))],
+            [None, pa.py_buffer(offs64.astype(np.int32)),
+             pa.py_buffer(np.ascontiguousarray(sigs))],
         )
         return pa.table(
             {"doc_id": pa.array(ids, type=pa.int64()), "sig": sig_arr}
@@ -809,14 +837,17 @@ def q_lang_id(sf_dir: str) -> Dataset:
     """Stopword/charset language-ID heuristic (deterministic).
 
     CJK codepoint presence → zh; otherwise the language whose marker
-    words hit most (ties → en). Rows-only check; mechanics (not
-    accuracy on synthetic text) are what tests pin."""
+    words hit most (ties → en). SQL-expressible: the registry oracle
+    reproduces the marker counts (non-overlapping substring counts via
+    replace-length arithmetic) and the tie-broken argmax CASE chain."""
     ds = read_documents(sf_dir, ["doc_id", "text"])
     langs = list(_LANG_MARKERS)
 
     def fn(t: pa.Table) -> pa.Table:
         text = t["text"]
-        padded = pc.binary_join_element_wise(" ", text, " ")
+        # ' ' || text || ' ' (4th arg is the join separator) so markers
+        # match at both string boundaries — mirrored by the SQL oracle
+        padded = pc.binary_join_element_wise(" ", text, " ", "")
         cjk = pc.count_substring_regex(padded, r"[一-鿿]").to_numpy(
             zero_copy_only=False
         )
