@@ -41,6 +41,38 @@ def test_cached_lookup_shared_store(ray_session):
     assert s2.stats()["store_hits"] == 2 and s2.stats()["misses"] == 1
 
 
+def test_cached_lookup_sharded_store(ray_session):
+    """Level-2 sharding: keys route by crc32 across a pool of store
+    actors; a fresh stage instance resolves every key from the shards
+    (no recompute), and both shards hold a share of the key space."""
+    import ray
+
+    from turboxsl_ray.stages.cached_lookup import (
+        CachedLookupStage,
+        _shard_key,
+        get_store_pool,
+        release_store_pool,
+    )
+
+    release_store_pool()
+    pool = get_store_pool(2)
+    assert get_store_pool(2) == pool  # memoized — no actor per plan
+    keys = [f"k{i}" for i in range(40)]
+    s1 = CachedLookupStage("k", "code", _code, store=pool)
+    s1(pa.table({"k": pa.array(keys)}))
+    ray.get([a.put_many.remote([], []) for a in pool])  # flush barrier
+    sizes = ray.get([a.size.remote() for a in pool])
+    assert sum(sizes) == 40
+    expect = [sum(_shard_key(k) % 2 == s for k in keys) for s in (0, 1)]
+    assert sizes == expect and min(sizes) > 0
+    s2 = CachedLookupStage("k", "code", _code, store=pool)
+    out = s2(pa.table({"k": pa.array(keys)}))
+    assert out["code"].to_pylist() == [f"code-{k}" for k in keys]
+    assert s2.stats()["store_hits"] == 40 and s2.stats()["misses"] == 0
+    release_store_pool()
+    assert get_store_pool(2) != pool  # killed pool is not handed back
+
+
 def test_cached_lookup_in_pipeline(ray_session):
     import ray.data
 

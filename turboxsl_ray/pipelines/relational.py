@@ -308,16 +308,22 @@ def q_url_code(sf_dir: str) -> Dataset:
     """``ltr:url_code`` (the reference's hottest function — 2132
     production calls, functions.c:1345) as a driver-checked query: a
     read-through cached lookup (stages/cached_lookup.py) resolving a
-    deterministic 8-hex code per user through per-actor LRU → shared
-    store actor → compute fn. The compute fn runs once per DISTINCT
+    deterministic 8-hex code per user through per-actor LRU → sharded
+    store actors → compute fn. The compute fn runs once per DISTINCT
     missing key (events repeat users heavily, so the cache levels do
-    real work); the oracle computes the same code directly."""
+    real work); the oracle computes the same code directly.
+
+    Store lifetime: the 2-shard pool is a lazily-created per-process
+    singleton (cached_lookup.get_store_pool) — repeated q_url_code
+    plans in one process (bench loops, pytest) REUSE the same actors
+    instead of stranding one per plan, and the pool dies with the
+    driver process (or on release_store_pool())."""
     import hashlib
 
-    from turboxsl_ray.stages.cached_lookup import CachedLookupStage, SharedStore
+    from turboxsl_ray.stages.cached_lookup import CachedLookupStage, get_store_pool
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
-    store = SharedStore.remote()
+    store = get_store_pool(2)
 
     def compute(keys: list) -> list:
         return [hashlib.md5(f"u{k}".encode()).hexdigest()[:8] for k in keys]
