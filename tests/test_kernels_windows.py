@@ -254,3 +254,42 @@ def test_materialized_derive_matches_fresh(ray_session, tmp_path):
             assert cached.equals(fresh[n]), n
     finally:
         tf.clear_derived_cache()
+
+
+def test_derived_cache_rejects_straddling_conversation(ray_session, tmp_path):
+    """The cache fast path must fail LOUDLY when a conversation
+    straddles read-back blocks (Ray treats override_num_blocks as a
+    hint, so file alignment alone is not proof) — a straddle would
+    silently corrupt every lag/sessionize feature computed from the
+    cache."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from turboxsl_ray.pipelines import transcript_features as tf
+
+    bad = tmp_path / "bad_cache"
+    bad.mkdir()
+    # conv "c1" deliberately split across two files (= two read blocks)
+    pq.write_table(
+        pa.table({"conv_id": ["c0", "c1"], "turn_idx": [0, 0]}),
+        bad / "part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({"conv_id": ["c1", "c2"], "turn_idx": [1, 0]}),
+        bad / "part-1.parquet",
+    )
+    with pytest.raises(ValueError, match="straddle"):
+        tf._validate_conv_alignment(str(bad))
+
+    ok = tmp_path / "ok_cache"
+    ok.mkdir()
+    pq.write_table(
+        pa.table({"conv_id": ["c0", "c1", "c1"], "turn_idx": [0, 0, 1]}),
+        ok / "part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({"conv_id": ["c2"], "turn_idx": [0]}),
+        ok / "part-1.parquet",
+    )
+    tf._validate_conv_alignment(str(ok))  # disjoint: no raise

@@ -15,7 +15,18 @@ from turboxsl_ray.kernels.arrays import as_array
 
 
 def stable_hash64(values: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
-    """Deterministic uint64 hash of a string/int column (vectorized)."""
+    """Deterministic uint64 hash of a string/int column (vectorized).
+
+    HASH CONTRACT: this is pandas' ``hash_pandas_object`` with its
+    default ``hash_key`` ("0123456789123456") — SipHash-1-3 under the
+    hood, stable for a fixed pandas major line. Every persisted
+    artifact keyed by this hash (minhash signatures, LSH buckets,
+    simhash values, dedup digests, partition/lineage ids) is only
+    comparable across runs that share the pandas hash implementation;
+    a pandas upgrade that changes it invalidates previously persisted
+    signatures (recompute, don't mix). Round 3 already broke artifact
+    compatibility once by switching shingle hashing to this function —
+    outputs persisted before that change are not comparable either."""
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         ser = as_array(values).to_pandas()
     else:

@@ -311,22 +311,14 @@ def _cluster_docs(sf_dir: str, pairs: Dataset) -> Dataset:
     """Shared cluster assembly: BSP connected components over a
     materialized (doc_a, doc_b, ...) pair Dataset, then a left join
     back onto the full documents id set (docs outside the pair graph
-    label themselves)."""
+    label themselves). An empty pair graph needs no special case: the
+    CC stage returns an empty (node, comp) table, the left join keeps
+    every doc with a null cluster_id, and ``finish`` coalesces to
+    own-id — no blocking driver round-trip anywhere on this path."""
     from turboxsl_ray.stages.cc import connected_components
     from turboxsl_ray.stages.join import copartition_join
 
     docs = read_documents(sf_dir, ["doc_id"])
-
-    def own_label(t: pa.Table) -> pa.Table:
-        ids = as_array(pc.cast(t["doc_id"], pa.int64()))
-        return pa.table(
-            {"doc_id": ids, "cluster_id": ids,
-             "is_canonical": pa.array(np.ones(len(ids), dtype=bool))},
-            schema=_CLUSTER_SCHEMA,
-        )
-
-    if pairs.count() == 0:
-        return map_partitions(docs, own_label)
 
     labels = connected_components(pairs, a_col="doc_a", b_col="doc_b")
     clusters = map_partitions(
@@ -337,6 +329,9 @@ def _cluster_docs(sf_dir: str, pairs: Dataset) -> Dataset:
         clusters,
         on="doc_id",
         how="left",
+        # declared (not probed): also what keeps the join well-typed
+        # when the pair graph — and therefore clusters — is empty
+        right_schema=pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
         num_partitions=partitions_for_input(
             f"{sf_dir}/documents.parquet", factor=0.25
         ),
@@ -380,8 +375,9 @@ def q_near_dup_clusters_capped(sf_dir: str) -> Dataset:
     Capping drops only evidence from grams shared by more documents
     than the cap, so every capped edge is a real near-dup edge and
     each capped cluster is contained in an exact cluster (refinement
-    pinned by pytest). Rows-only driver check; no SQL oracle —
-    the uncapped ``near_dup_clusters`` entry carries oracle parity."""
+    pinned by pytest). The cap is deterministic, so this entry carries
+    its own recursive-CTE SQL oracle (capped shared counts, uncapped
+    sizes) alongside the uncapped ``near_dup_clusters`` one."""
     from turboxsl_ray.pipelines.text import NGRAM_DF_CAP
 
     return q_near_dup_clusters(sf_dir, df_cap=NGRAM_DF_CAP)

@@ -108,26 +108,61 @@ def materialize_derived(sf_dir: str, out_dir: str) -> str:
     conv hash-shuffle, and the derive (bench hygiene: per-query times
     then measure the OPERATOR, not the shared derive).
 
-    The no-shuffle read-back relies on one-block-per-file alignment
-    (a conversation lives wholly in one file); callers get a
-    ValueError if any shard approaches the block ceiling, where the
-    reader could split a file mid-conversation."""
-    import os
-
-    from ray.data import DataContext
-
+    The no-shuffle read-back relies on conversations never straddling
+    read blocks. ``override_num_blocks`` is only a parallelism HINT —
+    Ray may still split a large file mid-conversation — so instead of
+    guessing from file sizes at write time, registration VALIDATES the
+    actual read-back: it performs the exact read the cached path will
+    perform and checks that every block's conv_id set is disjoint from
+    every other block's (sum of per-block distinct counts == global
+    distinct count). Misaligned caches fail loudly here instead of
+    silently corrupting lag/sessionize features."""
     transcripts_pipeline(sf_dir).write_parquet(out_dir)
-    ceiling = DataContext.get_current().target_max_block_size or (128 << 20)
-    for name in os.listdir(out_dir):
-        p = os.path.join(out_dir, name)
-        if os.path.isfile(p) and os.path.getsize(p) > ceiling // 2:
-            raise ValueError(
-                f"derived shard {name} is within 2x of the block ceiling; "
-                "the read-back could split it mid-conversation — raise the "
-                "partition count of the derive instead"
-            )
+    _validate_conv_alignment(out_dir)
     _DERIVED_DIRS[sf_dir] = out_dir
     return out_dir
+
+
+def _read_derived(cached: str) -> Dataset:
+    """THE cached read-back — registration-time validation and the
+    cached fast path must issue the identical read, or the validated
+    block split is not the one the queries see."""
+    import os
+
+    files = [f for f in os.listdir(cached) if f.endswith(".parquet")]
+    # one block per file requested: files are conv-partition-aligned
+    return ray.data.read_parquet(cached, override_num_blocks=max(1, len(files)))
+
+
+def _validate_conv_alignment(cached: str) -> None:
+    """Raise unless every conversation is wholly contained in one
+    read-back block. Each block contributes its DISTINCT conv hashes
+    (uint64, collision odds ~n_convs²/2⁶⁴ and a collision can only
+    cause a false ALARM); blocks are disjoint iff the global distinct
+    count equals the sum of per-block distinct counts. Driver-side
+    state is one int64 set of conversation-count size — tiny next to
+    the turn-level data, and this runs once per cache registration."""
+    from turboxsl_ray.kernels.hashing import stable_hash64
+
+    def block_convs(t: pa.Table) -> pa.Table:
+        u = np.unique(stable_hash64(t["conv_id"]))
+        return pa.table({"h": pa.array(u.astype(np.int64))})
+
+    seen: set[int] = set()
+    total = 0
+    for b in map_partitions(_read_derived(cached), block_convs).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        h = b["h"].to_pylist()
+        total += len(h)
+        seen.update(h)
+    if len(seen) != total:
+        raise ValueError(
+            f"derived transcript cache at {cached} is misaligned: "
+            f"{total - len(seen)} conversation(s) straddle a block "
+            "boundary (Ray split a file mid-conversation) — raise the "
+            "partition count of the derive instead of using this cache"
+        )
 
 
 def clear_derived_cache() -> None:
@@ -142,12 +177,9 @@ def transcripts_pipeline(
     """events → one conv-hash shuffle → fused derive(+feature) blocks."""
     cached = _DERIVED_DIRS.get(sf_dir)
     if cached is not None:
-        import os
-
-        files = [f for f in os.listdir(cached) if f.endswith(".parquet")]
-        # one block per file: files are conv-partition-aligned, so
-        # blocks hold whole conversations without any exchange
-        ds = ray.data.read_parquet(cached, override_num_blocks=max(1, len(files)))
+        # the same read materialize_derived validated for conv-block
+        # alignment (whole conversations per block, no exchange needed)
+        ds = _read_derived(cached)
 
         def reblock(t: pa.Table) -> pa.Table:
             t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])

@@ -93,10 +93,18 @@ def copartition_join(
 
     lschema = left_schema if left_schema is not None else _schema(left)
     rschema = right_schema if right_schema is not None else _schema(right)
+    if rschema is None and how in ("left", "full") and lschema is not None:
+        # left/full join must KEEP left rows even when the right side
+        # is empty — but a schema-less right gives no types for the
+        # null columns. Silently returning empty would drop left rows.
+        raise ValueError(
+            "right side is schema-less (zero blocks); pass right_schema= "
+            "so the left/full join can emit typed null columns"
+        )
     if lschema is None or rschema is None:
-        # a fully empty side can surface as schema-less (zero blocks);
-        # the join of nothing is nothing — callers' block fns must (and
-        # do) tolerate a zero-column empty block
+        # a fully empty required side surfaces as schema-less (zero
+        # blocks); an inner join of nothing is nothing — callers' block
+        # fns must (and do) tolerate a zero-column empty block
         import ray.data as rd
 
         return rd.from_arrow(pa.table({}))
