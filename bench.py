@@ -377,6 +377,90 @@ def ab_report(old_ref: str, pairs: int = 3) -> dict:
     }
 
 
+def _time_queries_subprocess(tree: str, names: list[str]) -> dict[str, float]:
+    """Per-query wall times measured in a FRESH process whose cwd (and
+    therefore import root) is ``tree`` — works against any checkout
+    regardless of that tree's bench.py capabilities. Transcript-family
+    queries include their derive in BOTH trees (fair pairing)."""
+    code = f"""
+import json, time, warnings
+warnings.filterwarnings("ignore")
+import ray
+ray.init(address="local", num_cpus={NUM_CPUS}, include_dashboard=False,
+         logging_level="ERROR")
+from turboxsl_ray.context import tune_context
+tune_context()
+import ray.data
+from turboxsl_ray import registry
+qs = registry.queries()
+out = {{}}
+for name in {names!r}:
+    t0 = time.time()
+    res = qs[name]({SF_DIR!r})
+    if isinstance(res, ray.data.Dataset):
+        for _ in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            pass
+    out[name] = round(time.time() - t0, 3)
+print("RESULT " + json.dumps(out))
+ray.shutdown()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=tree,
+        capture_output=True, text=True, env=dict(os.environ),
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"query A/B run in {tree} failed rc={proc.returncode}; "
+            f"stderr tail:\n{proc.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1][len("RESULT "):])
+
+
+def ab_queries_report(old_ref: str, names: list[str], pairs: int = 3) -> dict:
+    """Same-boot A/B for NAMED registry queries: alternating fresh-
+    process timing runs between the current tree and a worktree at
+    ``old_ref``. Per-query ratio = old_sec / tip_sec (>1 → tip faster,
+    ~1 → no change); the geomean over pairs answers 'did a commit
+    regress this query, or was the round-over-round drift host noise'
+    (BASELINE.md's ±30 %% per-pair band)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="turboxsl_abq_")
+    subprocess.run(
+        ["git", "worktree", "add", "--force", "--detach", wt, old_ref],
+        cwd=repo, check=True, capture_output=True, text=True,
+    )
+    tip_runs, old_runs = [], []
+    try:
+        for _ in range(pairs):
+            tip_runs.append(_time_queries_subprocess(repo, names))
+            time.sleep(5)
+            old_runs.append(_time_queries_subprocess(wt, names))
+            time.sleep(5)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
+    per_query = {}
+    for name in names:
+        ratios = [o[name] / t[name] for t, o in zip(tip_runs, old_runs)]
+        per_query[name] = {
+            "geomean_old_over_tip": round(np_prod(ratios) ** (1 / len(ratios)), 3),
+            "tip_sec": [t[name] for t in tip_runs],
+            "old_sec": [o[name] for o in old_runs],
+        }
+    return {
+        "metric": f"old/tip per-query wall-time ratio vs {old_ref} (same-boot alternating pairs)",
+        "unit": "ratio",
+        "old_ref": old_ref,
+        "queries": per_query,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "note": "geomean ~1.0 => drift was host noise; <1 => tip regressed that query",
+    }
+
+
 def np_prod(xs):
     p = 1.0
     for x in xs:
@@ -394,10 +478,16 @@ def main() -> None:
     ap.add_argument("--ab", metavar="OLD_REF",
                     help="same-boot alternating A/B of the headline vs a git ref")
     ap.add_argument("--ab-pairs", type=int, default=3)
+    ap.add_argument("--ab-queries", metavar="NAME,NAME",
+                    help="with --ab: A/B these registry queries instead of the headline")
     args = ap.parse_args()
 
     if args.ab:
-        print(json.dumps(ab_report(args.ab, args.ab_pairs)))
+        if args.ab_queries:
+            names = [n for n in args.ab_queries.split(",") if n]
+            print(json.dumps(ab_queries_report(args.ab, names, args.ab_pairs)))
+        else:
+            print(json.dumps(ab_report(args.ab, args.ab_pairs)))
         return
 
     if args.scaling:
