@@ -247,10 +247,17 @@ def _headline_subprocess(num_cpus: int, flag: str, attempts: int = 2) -> dict:
     the attempts: a scaling reading taken while the hypervisor caps
     the VM (BASELINE.md round-3 forensics — flat throughput at every
     width, steal 3-6 CPUs, 7-10x kernel time) is identifiable from the
-    JSON alone."""
+    JSON alone.
+
+    A transient subprocess failure (e.g. a local raylet dying under
+    memory pressure — it killed an entire ~1 h scaling measure once)
+    costs one retry, not the whole report: the call only raises when
+    every attempt (plus one spare) fails."""
     best = None
     c0, t0 = _cpu_times(), time.time()
-    for _ in range(attempts):
+    failures: list[str] = []
+    successes = 0
+    while successes < attempts and len(failures) < 2:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only", flag],
@@ -258,16 +265,23 @@ def _headline_subprocess(num_cpus: int, flag: str, attempts: int = 2) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         if proc.returncode != 0 or not proc.stdout.strip():
-            raise RuntimeError(
+            failures.append(
                 f"headline subprocess (cpus={num_cpus}) failed "
                 f"rc={proc.returncode}; stderr tail:\n{proc.stderr[-2000:]}"
             )
+            print(f"[bench] attempt failed (cpus={num_cpus}), retrying once",
+                  file=sys.stderr)
+            time.sleep(20)
+            continue
         line = proc.stdout.strip().splitlines()[-1]
         r = json.loads(line)
+        successes += 1
         if best is None or (r["headline"]["throughput_turns_per_s"]
                             > best["headline"]["throughput_turns_per_s"]):
             best = r
         time.sleep(10)  # let the previous local cluster fully tear down
+    if best is None:
+        raise RuntimeError("; then ".join(failures))
     c1, dt = _cpu_times(), time.time() - t0
     d = {k: c1[k] - c0[k] for k in c0}
     best["host"] = {

@@ -1038,13 +1038,14 @@ _LAST_CHECKED: dict[str, int] = {
 
 # Queries whose pipeline code or oracle SQL changed in the CURRENT
 # round — must face the gate regardless of staleness (rule 1 above).
-# Round 4: new SQL oracles (lang_id, ngram_jaccard_capped,
+# Round 4: new SQL oracles (lang_id, winnow_dedup, ngram_jaccard_capped,
 # near_dup_clusters_capped), sharded read-through store (url_code),
 # int64-safe signature offsets (minhash_lsh and its dedup composition),
 # probe-free cluster assembly (near_dup_clusters, embed_dedup,
 # minhash_dedup).
 _CHANGED_THIS_ROUND = [
     "lang_id",
+    "winnow_dedup",
     "ngram_jaccard_capped",
     "near_dup_clusters_capped",
     "url_code",
