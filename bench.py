@@ -51,7 +51,12 @@ SYNTH_MEGA_FRAC = 0.05
 SYNTH_SEED = 42
 LEFT_SHARDS = 64
 
-NUM_PARTITIONS = 64  # same physical plan at every CPU level
+# Same physical plan at every CPU level. 128 measured best on the
+# 83M-turn input (round 4, 16 CPUs, same boot: 64 -> 806k turns/s,
+# 128 -> 960k, 256 -> 924k): ~70 MB exchange partitions keep block_fn
+# sorts small and the pipeline full without paying per-partition
+# overhead for nothing.
+NUM_PARTITIONS = 128
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -77,9 +82,14 @@ def _init_ray(num_cpus: int) -> None:
     # 252k turns/s at 8/16/32 alike on the 83M-turn input) while
     # cpus//4 lifted the same runs to 293-323k (8 CPUs) and 373k
     # (16 CPUs) — aggregators are mostly-idle mailboxes, map slots are
-    # the binding resource.
+    # the binding resource. Round 4 dropped the floor from 2 to 1:
+    # floor 2 reserved HALF of a 4-CPU node for aggregators (the other
+    # widths reserve a quarter), and the 4-CPU scale-input run went
+    # 159-166k -> 277k turns/s when the floor stopped starving its map
+    # slots. With floor 1 the reservation is a uniform 25% at every
+    # width, so cross-width efficiency pairs compare like with like.
     ctx = DataContext.get_current()
-    aggs = max(2, num_cpus // 4)
+    aggs = max(1, num_cpus // 4)
     ctx.max_hash_shuffle_aggregators = aggs
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
         aggs / NUM_PARTITIONS

@@ -76,9 +76,14 @@ def tune_context(
         # per-query wall at 32 CPUs). Round 3 dropped CPUs/2 -> CPUs/4:
         # aggregators are mostly-idle mailboxes and the bigger
         # reservation starved map slots (flagship 252k -> 293-373k
-        # turns/s at 8-16 CPUs on the 83M-turn input).
+        # turns/s at 8-16 CPUs on the 83M-turn input). Round 4 dropped
+        # the floor 2 -> 1: floor 2 gave a 4-CPU node HALF its cores to
+        # aggregators (every other width reserves a quarter) and the
+        # 4-CPU flagship run jumped 159-166k -> 277k turns/s with the
+        # floor removed — a single 1-CPU aggregator mailbox keeps up
+        # with 3 map slots' worth of exchange traffic.
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+        ctx.max_hash_shuffle_aggregators = max(1, cpus // 4)
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
     if preserve_order is not None:
