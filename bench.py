@@ -38,13 +38,17 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# headline input: ~13M turns; scaling input: ~83M turns — sized so the
-# scalable work (~2000 cpu-s) dwarfs the ~10-15 s fixed cost per run
-# (executor + shuffle-op startup, pre-pass scans), per BASELINE.md's
-# decomposition; fixed cost <10%% of compute even at 4 CPUs.
+# headline input: ~13M turns; scaling input: ~165M turns — sized so
+# the scalable work dwarfs the ~10-15 s fixed cost per run (executor +
+# shuffle-op startup, pre-pass scans), per BASELINE.md's decomposition.
+# The input must track the code's speed for that to stay true: round 4
+# made the engine ~2.4x faster, which shrank the old 83M-turn input to
+# ~900 cpu-s of work and let pipeline fill/drain bound the 16-CPU
+# width (~70% busy), so the input doubled (BASELINE.md round-4
+# follow-up). Fixed cost <10% of compute even at 16 CPUs.
 HEADLINE_CONVS = 40_000
-SCALING_CONVS = 320_000
-WEAK_CONVS = 80_000  # ~1/4 of SCALING_CONVS rows (weak-scaling pair)
+SCALING_CONVS = 640_000
+WEAK_CONVS = 160_000  # ~1/4 of SCALING_CONVS rows (weak-scaling pair)
 SYNTH_MEAN_TURNS = 12
 SYNTH_MAX_TURNS = 600
 SYNTH_MEGA_FRAC = 0.05

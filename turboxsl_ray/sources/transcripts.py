@@ -136,9 +136,17 @@ def synth_transcripts(
             "value": pa.array(value, type=pa.float64()),
         }
     )
-    # shuffle rows so nothing downstream can rely on generation order
+    # shuffle rows so nothing downstream can rely on generation order.
+    # Chunked gather: one whole-table take() materializes contiguous
+    # columns and overflows 32-bit utf8 offsets past ~2 GiB of text
+    # (seen at the 165M-turn scaling size); per-slice takes keep every
+    # output chunk under the limit and concat_tables preserves chunks.
     perm = rng.permutation(n)
-    return tbl.take(pa.array(perm))
+    parts = [
+        tbl.take(pa.array(perm[lo : min(lo + chunk, n)]))
+        for lo in range(0, n, chunk)
+    ]
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
 def synth_asof_side(
