@@ -96,6 +96,24 @@ def synth_transcripts(
     is_tool_turn = role == "tool"
     tool_vals = TOOLS[(turn_idx + conv_ord) % len(TOOLS)]
     junk = rng.integers(0, 1_000_000, size=n)
+    value = np.round(rng.normal(50.0, 15.0, size=n), 4)
+
+    # Shuffle rows so nothing downstream can rely on generation order —
+    # permute the NUMPY inputs before any Arrow array exists. A
+    # whole-table Arrow take() (or a take from a chunked source, which
+    # concatenates first) overflows 32-bit utf8 offsets past ~2 GiB of
+    # text, seen at the 165M-turn scaling size. The rng draw order is
+    # unchanged (sizes, gaps, junk, value, perm), so the output is the
+    # same logical table earlier revisions produced.
+    perm = rng.permutation(n)
+    conv_col = conv_col[perm]
+    turn_idx = turn_idx[perm]
+    role = role[perm]
+    is_tool_turn = is_tool_turn[perm]
+    tool_vals = tool_vals[perm]
+    ts_us = ts_us[perm]
+    junk = junk[perm]
+    value = value[perm]
     # text = "" where j % 17 == 0 else f"t-{conv}-{turn}-é中{j:06d}",
     # built with Arrow kernels — the per-row f-string loop took ~20 min
     # at the 83M-turn scaling size and dominated cold-cache bench setup
@@ -119,7 +137,6 @@ def synth_transcripts(
         )
         text_chunks.append(pc.if_else(pa.array(junk[lo:hi] % 17 == 0), "", joined))
     text_arr = pa.chunked_array(text_chunks)
-    value = np.round(rng.normal(50.0, 15.0, size=n), 4)
 
     tbl = pa.table(
         {
@@ -136,17 +153,7 @@ def synth_transcripts(
             "value": pa.array(value, type=pa.float64()),
         }
     )
-    # shuffle rows so nothing downstream can rely on generation order.
-    # Chunked gather: one whole-table take() materializes contiguous
-    # columns and overflows 32-bit utf8 offsets past ~2 GiB of text
-    # (seen at the 165M-turn scaling size); per-slice takes keep every
-    # output chunk under the limit and concat_tables preserves chunks.
-    perm = rng.permutation(n)
-    parts = [
-        tbl.take(pa.array(perm[lo : min(lo + chunk, n)]))
-        for lo in range(0, n, chunk)
-    ]
-    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    return tbl
 
 
 def synth_asof_side(
