@@ -293,3 +293,93 @@ def test_derived_cache_rejects_straddling_conversation(ray_session, tmp_path):
         ok / "part-1.parquet",
     )
     tf._validate_conv_alignment(str(ok))  # disjoint: no raise
+
+
+def test_cached_read_sees_whole_files_not_reader_chunks(ray_session, tmp_path):
+    """The cached fast path must hand block fns WHOLE cache files. A
+    fused ReadParquet→MapBatches hands the fn the parquet reader's
+    internal ~10k-row yield chunks instead (measured at sf0.1/32 CPUs;
+    it crashed BENCH_r04) — the per-file loader must be immune."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from turboxsl_ray.pipelines import transcript_features as tf
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    n = 25_000  # >> the 10k reader chunk that caused the r4 straddles
+    pq.write_table(
+        pa.table({
+            "conv_id": np.repeat([f"c{i}" for i in range(5)], n // 5),
+            "turn_idx": np.tile(np.arange(n // 5, dtype=np.int32), 5),
+        }),
+        cache / "part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({"conv_id": ["z"] * 3, "turn_idx": [0, 1, 2]}),
+        cache / "part-1.parquet",
+    )
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"rows": [t.num_rows]})
+
+    sizes = sorted(
+        r["rows"] for r in tf._read_derived(str(cache), block_rows).take_all()
+    )
+    assert sizes == [3, n]
+    tf._validate_conv_alignment(str(cache))  # and it validates green
+
+
+def test_materialize_derived_self_heals(ray_session, tmp_path, monkeypatch):
+    """A misaligned first write must be REWRITTEN with more partitions
+    and re-validated — never raised through to the caller (round 4's
+    fail-loud path zeroed out the whole driver bench)."""
+    from turboxsl_ray.pipelines import transcript_features as tf
+
+    sf = "/root/testdata/sf0.001"
+    real_validate = tf._validate_conv_alignment
+    calls = []
+
+    def flaky(cached):
+        calls.append(cached)
+        if len(calls) == 1:
+            raise ValueError("planted misalignment (test)")
+        real_validate(cached)
+
+    monkeypatch.setattr(tf, "_validate_conv_alignment", flaky)
+    out = str(tmp_path / "derived")
+    try:
+        res = tf.materialize_derived(sf, out, num_partitions=1)
+        assert res == out and len(calls) == 2
+        assert tf._DERIVED_DIRS.get(sf) == out
+        # the healed cache serves correct features
+        cached = tf.q_lag_lead(sf).to_pandas()
+        cached = cached.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    finally:
+        tf.clear_derived_cache()
+    fresh = tf.q_lag_lead(sf).to_pandas()
+    fresh = fresh.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert cached.equals(fresh)
+
+
+def test_materialize_derived_gives_up_without_raising(
+    ray_session, tmp_path, monkeypatch
+):
+    """If no rewrite can align the cache, materialize_derived must skip
+    registration and return None — queries keep using the derive path."""
+    import warnings
+
+    from turboxsl_ray.pipelines import transcript_features as tf
+
+    monkeypatch.setattr(
+        tf, "_validate_conv_alignment",
+        lambda cached: (_ for _ in ()).throw(ValueError("always misaligned")),
+    )
+    sf = "/root/testdata/sf0.001"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = tf.materialize_derived(sf, str(tmp_path / "derived"))
+    assert res is None
+    assert sf not in tf._DERIVED_DIRS
+    assert tf.q_conv_stats(sf).count() > 0  # derive path still serves

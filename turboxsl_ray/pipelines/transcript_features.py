@@ -101,37 +101,100 @@ def derive_block(tbl: pa.Table) -> pa.Table:
 _DERIVED_DIRS: dict[str, str] = {}
 
 
-def materialize_derived(sf_dir: str, out_dir: str) -> str:
+def materialize_derived(
+    sf_dir: str, out_dir: str, *, num_partitions: int | None = None,
+    max_attempts: int = 2,
+) -> str | None:
     """Run the events→transcripts derivation ONCE, write it as
     conv-partition-aligned parquet shards, and register it so later
     ``transcripts_pipeline(sf_dir)`` calls skip the events read, the
     conv hash-shuffle, and the derive (bench hygiene: per-query times
     then measure the OPERATOR, not the shared derive).
 
-    The no-shuffle read-back relies on conversations never straddling
-    read blocks. ``override_num_blocks`` is only a parallelism HINT —
-    Ray may still split a large file mid-conversation — so instead of
-    guessing from file sizes at write time, registration VALIDATES the
-    actual read-back: it performs the exact read the cached path will
-    perform and checks that every block's conv_id set is disjoint from
-    every other block's (sum of per-block distinct counts == global
-    distinct count). Misaligned caches fail loudly here instead of
-    silently corrupting lag/sessionize features."""
-    transcripts_pipeline(sf_dir).write_parquet(out_dir)
-    _validate_conv_alignment(out_dir)
-    _DERIVED_DIRS[sf_dir] = out_dir
-    return out_dir
+    The no-shuffle read-back (:func:`_read_derived`) is one task per
+    cache FILE, so block boundaries are exactly file boundaries by
+    construction. Files in turn are conv-disjoint because the derive's
+    hash exchange put each conversation wholly in one partition — the
+    only way a conversation can straddle two files is Ray's output
+    builder splitting a partition larger than
+    ``DataContext.target_max_block_size`` at write time. Registration
+    VALIDATES that via the identical per-file read; on failure it
+    SELF-HEALS: rewrite the cache with enough partitions that every
+    file sits well under the block-size ceiling, re-validate, and if a
+    cache still cannot be aligned (e.g. one conversation alone exceeds
+    the ceiling) log and return ``None`` WITHOUT registering — queries
+    then use the always-correct derive path below. Never raises for a
+    misaligned cache; a bad cache costs speed, not answers."""
+    import math
+    import shutil
+    import warnings
+
+    from turboxsl_ray.context import on_disk_nbytes
+
+    from ray.data import DataContext
+
+    target = DataContext.get_current().target_max_block_size or (128 << 20)
+    nparts = num_partitions
+    for _ in range(max_attempts):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        transcripts_pipeline(sf_dir, num_partitions=nparts).write_parquet(out_dir)
+        try:
+            _validate_conv_alignment(out_dir)
+        except ValueError:
+            # size the rewrite from the cache actually on disk: parquet
+            # decodes to several x its compressed bytes (factor 8 is
+            # deliberately generous), and a quarter-of-ceiling file can
+            # never trip the output builder's split
+            disk = on_disk_nbytes(out_dir) or 0
+            need = math.ceil(max(1, disk * 8) / max(1, target // 4))
+            nparts = max(need, 2 * (nparts or 1), 4)
+            continue
+        _DERIVED_DIRS[sf_dir] = out_dir
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    warnings.warn(
+        f"derived transcript cache for {sf_dir} could not be "
+        "conv-aligned after rewrite; skipping registration — queries "
+        "fall back to the (always-correct) fused derive path"
+    )
+    return None
 
 
-def _read_derived(cached: str) -> Dataset:
-    """THE cached read-back — registration-time validation and the
-    cached fast path must issue the identical read, or the validated
-    block split is not the one the queries see."""
+def _read_derived(
+    cached: str, fn: Callable[[pa.Table], pa.Table] | None = None
+) -> Dataset:
+    """THE cached read-back: one task per cache file, the file read
+    WHOLE inside the task, ``fn`` fused onto the loaded table.
+
+    This deliberately avoids ``read_parquet`` + ``map_batches`` fusion:
+    a fused ReadParquet→MapBatches hands the map fn the reader's
+    internal yield chunks (~10k rows), NOT whole files — measured at
+    sf0.1/32 CPUs, where it split conversations mid-block and round 4's
+    validator killed the bench. Registration-time validation and the
+    cached query path both go through THIS function, so the validated
+    blocking is exactly the one queries see."""
     import os
 
-    files = [f for f in os.listdir(cached) if f.endswith(".parquet")]
-    # one block per file requested: files are conv-partition-aligned
-    return ray.data.read_parquet(cached, override_num_blocks=max(1, len(files)))
+    files = sorted(
+        os.path.join(cached, f)
+        for f in os.listdir(cached)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"derived transcript cache at {cached} is empty")
+
+    def load(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        # ≥2 paths per block would only ever CONCATENATE whole files
+        # (safe: files are conv-disjoint); splitting cannot happen here
+        tab = pa.concat_tables(
+            pq.read_table(p) for p in t["item"].to_pylist()
+        )
+        return tab if fn is None else fn(tab)
+
+    items = ray.data.from_items(files, override_num_blocks=len(files))
+    return map_partitions(items, load)
 
 
 def _validate_conv_alignment(cached: str) -> None:
@@ -150,7 +213,7 @@ def _validate_conv_alignment(cached: str) -> None:
 
     seen: set[int] = set()
     total = 0
-    for b in map_partitions(_read_derived(cached), block_convs).iter_batches(
+    for b in _read_derived(cached, block_convs).iter_batches(
         batch_size=None, batch_format="pyarrow"
     ):
         h = b["h"].to_pylist()
@@ -159,9 +222,9 @@ def _validate_conv_alignment(cached: str) -> None:
     if len(seen) != total:
         raise ValueError(
             f"derived transcript cache at {cached} is misaligned: "
-            f"{total - len(seen)} conversation(s) straddle a block "
-            "boundary (Ray split a file mid-conversation) — raise the "
-            "partition count of the derive instead of using this cache"
+            f"{total - len(seen)} conversation(s) straddle a file "
+            "boundary (the write split a partition larger than the "
+            "block-size ceiling) — rewrite with more partitions"
         )
 
 
@@ -173,23 +236,24 @@ def transcripts_pipeline(
     sf_dir: str,
     block_fn: Callable[[pa.Table], pa.Table] | None = None,
     columns: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """events → one conv-hash shuffle → fused derive(+feature) blocks."""
     cached = _DERIVED_DIRS.get(sf_dir)
     if cached is not None:
-        # the same read materialize_derived validated for conv-block
-        # alignment (whole conversations per block, no exchange needed)
-        ds = _read_derived(cached)
+        # the same per-file read materialize_derived validated for
+        # conv-block alignment (whole conversations per block, no
+        # exchange needed); block_fn fuses onto the in-task file load
 
         def reblock(t: pa.Table) -> pa.Table:
             t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
             return t if block_fn is None else block_fn(t)
 
-        return map_partitions(ds, reblock)
+        return _read_derived(cached, reblock)
     ds = read_events(sf_dir, columns=columns)
     parts = partition_by_conv(
         ds,
-        partitions_for_input(f"{sf_dir}/events.parquet"),
+        num_partitions or partitions_for_input(f"{sf_dir}/events.parquet"),
         keys=["user_id"],
     )
     if block_fn is None:
