@@ -119,16 +119,28 @@ def synth_transcripts(
     # at the 83M-turn scaling size and dominated cold-cache bench setup
     import pyarrow.compute as pc
 
-    conv_arr = pa.array(conv_col, type=pa.string())
-    # chunked build: one 32-bit utf8 array would overflow 2 GiB of
-    # offsets at the 83M-turn bench size
+    # EVERY string column is built chunked: one contiguous 32-bit utf8
+    # array overflows its 2 GiB offset limit past ~238M rows of 9-byte
+    # conv_ids (text hits it far sooner) — seen at the 83M/165M-turn
+    # scaling inputs; chunking removes the ceiling for any future
+    # input-size doubling
     chunk = 8_000_000
-    text_chunks = []
+    conv_chunks, role_chunks, tool_chunks, text_chunks = [], [], [], []
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
+        conv_c = pa.array(conv_col[lo:hi], type=pa.string())
+        conv_chunks.append(conv_c)
+        role_chunks.append(pa.array(role[lo:hi], type=pa.string()))
+        tool_chunks.append(
+            pc.if_else(
+                pa.array(is_tool_turn[lo:hi]),
+                pa.array(tool_vals[lo:hi], type=pa.string()),
+                pa.scalar(None, pa.string()),
+            )
+        )
         joined = pc.binary_join_element_wise(
             "t-",
-            conv_arr.slice(lo, hi - lo),
+            conv_c,
             "-",
             pc.cast(pa.array(turn_idx[lo:hi]), pa.string()),
             "-é中",
@@ -136,19 +148,16 @@ def synth_transcripts(
             "",
         )
         text_chunks.append(pc.if_else(pa.array(junk[lo:hi] % 17 == 0), "", joined))
+    conv_arr = pa.chunked_array(conv_chunks)
     text_arr = pa.chunked_array(text_chunks)
 
     tbl = pa.table(
         {
             "conv_id": conv_arr,
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
-            "role": pa.array(role, type=pa.string()),
+            "role": pa.chunked_array(role_chunks),
             "text": text_arr,
-            "tool": pc.if_else(
-                pa.array(is_tool_turn),
-                pa.array(tool_vals, type=pa.string()),
-                pa.scalar(None, pa.string()),
-            ),
+            "tool": pa.chunked_array(tool_chunks),
             "ts": pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us")),
             "value": pa.array(value, type=pa.float64()),
         }
