@@ -119,6 +119,36 @@ def test_sample_dataset_seeded_fraction(ray_session):
     assert 0.15 * total < n < 0.45 * total
 
 
+def test_sample_hash_fast_variant_parity(ray_session):
+    """The vectorized 100 TB sampling path (hash_sample_mask) must hold
+    the same contract the md5 default is oracle-checked for: the keep
+    set is a pure function of event_id — identical across block splits
+    — and the rate lands at ~2/16."""
+    import numpy as np
+
+    from turboxsl_ray.kernels.hashing import hash_sample_mask
+    from turboxsl_ray.pipelines.relational import q_sample_hash, read_table
+
+    total = read_table(SF_DIR, "events", columns=["event_id"]).count()
+    fast = to_pandas(q_sample_hash(SF_DIR, method="fast"))
+    # block-split independence: recompute the mask over the ids in one
+    # numpy pass and in many small slices — identical keep set
+    ids = to_pandas(read_table(SF_DIR, "events", columns=["event_id"]))[
+        "event_id"
+    ].to_numpy()
+    whole = set(ids[hash_sample_mask(ids, 2, 16)])
+    sliced: set = set()
+    for lo in range(0, len(ids), 997):
+        s = ids[lo : lo + 997]
+        sliced.update(s[hash_sample_mask(s, 2, 16)])
+    assert whole == sliced == set(fast["event_id"])
+    # rate ~ 2/16 with loose binomial bounds
+    assert 0.06 * total < len(fast) < 0.20 * total
+    # and rerunning the distributed pipeline reproduces it exactly
+    again = to_pandas(q_sample_hash(SF_DIR, method="fast"))
+    assert set(again["event_id"]) == whole
+
+
 def test_funnel_strict_ordering(ray_session, tmp_path):
     """Stage k+1 must be STRICTLY after stage k: a click before the
     first view doesn't count, a purchase between view and click doesn't

@@ -40,6 +40,24 @@ def partition_ids(conv_ids, num_partitions: int) -> np.ndarray:
     return (stable_hash64(conv_ids) % np.uint64(num_partitions)).astype(np.int64)
 
 
+def hash_sample_mask(
+    values, rate_num: int, rate_den: int = 16
+) -> np.ndarray:
+    """Deterministic sampling mask, fully vectorized: keep a row iff
+    ``stable_hash64(value) % rate_den < rate_num``.
+
+    This is the PRODUCT sampling path for scale — one SipHash pass
+    over the column (C speed, no per-row Python digest), the same
+    stability contract as :func:`partition_ids` (identical keep set
+    across runs, block splits, retries, and resumes for a fixed pandas
+    hash implementation). :func:`md5_first_hex_digit` stays alongside
+    it ONLY because DuckDB can recompute ``md5()`` — the two
+    oracle-checked sampling queries use it so the driver can verify
+    the exact keep set in SQL; at 100 TB prefer this function."""
+    h = stable_hash64(values)
+    return (h % np.uint64(rate_den)) < np.uint64(rate_num)
+
+
 def md5_first_hex_digit(ids: np.ndarray) -> np.ndarray:
     """First hex digit of md5(str(id)) per row, as int64 0..15 — the
     deterministic sampling hash shared by q_sample_hash and

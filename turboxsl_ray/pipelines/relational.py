@@ -411,18 +411,27 @@ def q_veristat(sf_dir: str) -> Dataset:
     return map_partitions(ds, score)
 
 
-def q_sample_hash(sf_dir: str) -> Dataset:
+def q_sample_hash(sf_dir: str, method: str = "md5") -> Dataset:
     """Deterministic hash sampling (SURVEY §2.4 sampling, made
     oracle-checkable): keep an event iff the first hex digit of
     md5(event_id) is 0 or 1 (exact 1/8 expected rate, stable across
-    runs/partitionings — the only sampling that can survive a resume)."""
-    from turboxsl_ray.kernels.hashing import md5_first_hex_digit
+    runs/partitionings — the only sampling that can survive a resume).
+
+    ``method="fast"`` swaps the per-row md5 digest for the vectorized
+    ``hash_sample_mask`` (one SipHash pass, same 2/16 rate, same
+    stability contract) — the documented 100 TB default; md5 remains
+    the registry default ONLY because DuckDB can recompute it, making
+    the exact keep set driver-verifiable in SQL."""
+    from turboxsl_ray.kernels.hashing import hash_sample_mask, md5_first_hex_digit
 
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def sample(t: pa.Table) -> pa.Table:
         ids = as_array(pc.cast(t["event_id"], pa.int64())).to_numpy()
-        keep = md5_first_hex_digit(ids) < 2
+        if method == "fast":
+            keep = hash_sample_mask(ids, 2, 16)
+        else:
+            keep = md5_first_hex_digit(ids) < 2
         out = t.filter(pa.array(keep))
         return pa.table(
             {
