@@ -88,7 +88,8 @@ def test_cli_queries_listing(capsys):
     assert main(["queries"]) == 0
     out = capsys.readouterr().out
     assert "asof_join\toracle" in out
-    assert "minhash_lsh\trows-only" in out
+    assert "minhash_lsh\toracle" in out
+    assert "ann_ivf\trows-only" in out
 
 
 def test_cli_query_subcommand(ray_session, tmp_path, capsys):

@@ -84,10 +84,9 @@ def test_rows_only_queries_run(ray_session):
     sqls = registry.oracle_sql()
     rows_only = [n for n in qs if n not in sqls]
     assert set(rows_only) == {
-        "minhash_lsh", "simhash", "ann_lsh_buckets", "ann_ivf",
+        "ann_lsh_buckets", "ann_ivf",
         "approx_distinct_parts", "image_stats",
         "approx_quantiles", "heavy_hitters", "audio_stats",
-        "minhash_dedup",
     }
     for name in rows_only:
         df = to_pandas(qs[name](SF_DIR))

@@ -213,8 +213,18 @@ def _doc_shingles(t: pa.Table, n: int = NGRAM):
 
     Tokenization contract (== the SQL oracle): split trimmed text on
     whitespace runs; shingle = n consecutive words joined by ' '.
+
+    Gram hashing contract (== the SQL oracle): kernels/hashing
+    ``poly_hash64`` — the SQL-replayable fold — so the minhash
+    signatures built on these hashes are exactly reproducible in
+    DuckDB (registry oracles for minhash_lsh / minhash_dedup). The
+    callers that only need gram EQUALITY (inverted index, df caps,
+    decontaminate overlap) are hash-agnostic; minhash is the one
+    consumer whose output depends on the values. Switching from
+    stable_hash64 (round 5) invalidated previously persisted
+    signatures — recompute, don't mix.
     """
-    from turboxsl_ray.kernels.hashing import stable_hash64
+    from turboxsl_ray.kernels.hashing import poly_hash64
 
     ids = as_array(pc.cast(t["doc_id"], pa.int64())).to_numpy()
     trimmed = pc.utf8_trim_whitespace(t["text"])
@@ -232,7 +242,7 @@ def _doc_shingles(t: pa.Table, n: int = NGRAM):
     p = tok_starts[doc_rep] + within
     parts = [flat.take(pa.array(p + j)) for j in range(n)]
     gram = pc.binary_join_element_wise(*parts, " ")
-    h = stable_hash64(gram)
+    h = poly_hash64(gram)
     order = np.lexsort((h, doc_rep))
     d_s, h_s = doc_rep[order], h[order]
     first = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
@@ -777,12 +787,17 @@ def q_simhash(sf_dir: str) -> Dataset:
     """64-bit SimHash per document over word tokens (hex string).
 
     Fully vectorized: one regex token split for the whole block, one
-    pandas stable 64-bit hash over the flat token column, then 64
-    per-bit segment sums (``np.add.reduceat`` over doc boundaries) —
-    no Python loop over documents or tokens. Memory stays O(tokens):
-    the (tokens x 64) bit matrix is never materialized; each bit lane
-    is an O(tokens) pass."""
-    from turboxsl_ray.kernels.hashing import stable_hash64
+    SQL-replayable 64-bit hash (kernels/hashing.poly_hash64) over the
+    flat token column, then 64 per-bit segment sums
+    (``np.add.reduceat`` over doc boundaries) — no Python loop over
+    documents or tokens. Memory stays O(tokens): the (tokens x 64) bit
+    matrix is never materialized; each bit lane is an O(tokens) pass.
+
+    Hash contract: poly_hash64 (not stable_hash64) precisely so DuckDB
+    can replay the token hashes and bit-majority fold — the registry
+    carries an exact SQL oracle since round 5; hex values persisted
+    before the switch are not comparable."""
+    from turboxsl_ray.kernels.hashing import poly_hash64
 
     ds = read_documents(sf_dir, ["doc_id", "text"], spread=True)
 
@@ -803,7 +818,7 @@ def q_simhash(sf_dir: str) -> Dataset:
             pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
             > 0
         ).astype(np.int64)
-        hs = stable_hash64(flat)
+        hs = poly_hash64(flat)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         n_tok = np.add.reduceat(nonempty, starts) if len(hs) else np.zeros(len(ids), np.int64)
         vals = np.zeros(len(ids), dtype=np.uint64)

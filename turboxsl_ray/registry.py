@@ -4,11 +4,13 @@ Contract (driver correctness gate): every SQL-expressible query has an
 oracle whose OUTPUT COLUMN NAMES AND TYPES match the Ray result
 exactly; floats that pass through reordered summation are rounded
 identically on both sides. Queries whose semantics SQL genuinely
-can't express (seeded LSH/SimHash, sketches, binary codecs,
-approximate ANN) have ``None`` SQL → rows-only check; their accuracy
-is pinned by pytest instead. Anything deterministic got an oracle,
-even when that takes HUGEINT mod-2^64 arithmetic (winnow_dedup) or a
-generated argmax CASE chain (lang_id).
+can't express (randomized sketches, binary codecs, approximate ANN,
+iterative k-means) have ``None`` SQL → rows-only check; their
+accuracy is pinned by pytest instead. Anything deterministic got an
+oracle, even when that takes HUGEINT mod-2^64 arithmetic
+(winnow_dedup, and since round 5 the full minhash/LSH and simhash
+replays over the poly_hash64 fold) or a generated argmax CASE chain
+(lang_id).
 """
 
 from __future__ import annotations
@@ -99,6 +101,140 @@ def _winnow_fp_cte() -> str:
             FROM g QUALIFY ng > {W} AND i >= {W}
             UNION
             SELECT doc_id, MIN(h) AS fp FROM g WHERE ng <= {W} GROUP BY doc_id)"""
+
+
+_M64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+
+def _poly_hash_ctes(prefix: str, src: str, col: str) -> str:
+    """CTE chain replaying kernels/hashing.poly_hash64 over
+    ``{src}(doc_id, {col})`` — ends in ``{prefix}(doc_id, h)`` with h
+    UBIGINT, one row per input row (multisets preserved).
+
+    Fold: list_reduce over per-char ords, HUGEINT mod 2^64,
+    ASCII-guarded with error() (ord() yields codepoints, not bytes).
+    Finalizer: fmix64 — xor / >> run on UBIGINT; each 64-bit multiply
+    is decomposed into 32-bit halves because HUGEINT (INT128)
+    overflows at 2^64 x 2^64."""
+    from turboxsl_ray.kernels.hashing import (
+        POLY_BASE,
+        POLY_INIT,
+        POLY_MIX1,
+        POLY_MIX2,
+    )
+
+    def mulmod(c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        h = "CAST(h AS HUGEINT)"
+        return (
+            f"CAST((({h} * {lo}) % {_M64} + "
+            f"((({h} % 4294967296) * {hi}) % 4294967296) * 4294967296)"
+            f" % {_M64} AS UBIGINT)"
+        )
+
+    return f"""{prefix}_f AS (
+            SELECT doc_id,
+                   CASE WHEN octet_length(encode({col})) != length({col})
+                        THEN error('poly_hash64 oracle requires ASCII text')
+                        ELSE CAST(list_reduce(
+                            list_prepend(CAST('{POLY_INIT}' AS HUGEINT),
+                                list_transform(range(1, length({col}) + 1),
+                                    i -> CAST(ord(substr({col}, CAST(i AS INT), 1)) AS HUGEINT))),
+                            (h, c) -> (h * {POLY_BASE} + c) % {_M64}) AS UBIGINT)
+                   END AS h
+            FROM {src}),
+        {prefix}_x1 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM {prefix}_f),
+        {prefix}_x2 AS (SELECT doc_id, {mulmod(POLY_MIX1)} AS h FROM {prefix}_x1),
+        {prefix}_x3 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM {prefix}_x2),
+        {prefix}_x4 AS (SELECT doc_id, {mulmod(POLY_MIX2)} AS h FROM {prefix}_x3),
+        {prefix} AS (SELECT doc_id, xor(h, h >> 33) AS h FROM {prefix}_x4)"""
+
+
+def _minhash_est_cte() -> str:
+    """CTEs replaying text.q_minhash_lsh end-to-end in SQL, ending in
+    ``mh_est(doc_a, doc_b, e)`` — candidate pairs with their estimated
+    Jaccard (unfiltered; callers apply the >= threshold).
+
+    Exact replay, not an approximation of one: the gram hash is
+    kernels/hashing.poly_hash64 (the SQL-replayable fold + fmix64,
+    via _poly_hash_ctes), the K=64 universal-hash lanes'
+    seeded (a, b) params are embedded as literals, per-doc lane minima
+    form the signatures (gram-less docs get all-max signatures exactly
+    like _signatures' np.full initial), 16 bands of 4 rows fold into
+    bucket values with the same init (band_index + 1) and multiplier,
+    candidate pairs come from bucket-value equality alone (the Ray
+    side partitions by bucket VALUE, not (band, bucket)), and the
+    estimate is the mean lane agreement. All arithmetic is HUGEINT
+    mod 2^64 — bit-for-bit the numpy uint64 wraparound."""
+    from turboxsl_ray.kernels.hashing import POLY_BASE
+
+    M = _M64
+    MAXU = "CAST('18446744073709551615' AS HUGEINT)"
+    a, b = text._minhash_params()
+    params = ", ".join(
+        f"({k}, {int(a[k])}, {int(b[k])})" for k in range(text.MINHASH_K)
+    )
+    return f"""mh_params(k, a, b) AS (VALUES {params}),
+        {_WORDS_CTE},
+        mh_tok AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+            FROM words, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+        {_poly_hash_ctes("mh_gh", "mh_tok", "g")},
+        mh_sigm AS (
+            SELECT g.doc_id, p.k,
+                   MIN((CAST(p.a AS HUGEINT) * CAST(g.h AS HUGEINT) + p.b) % {M}) AS s
+            FROM mh_gh g CROSS JOIN mh_params p GROUP BY g.doc_id, p.k),
+        mh_sig AS (
+            SELECT d.doc_id, p.k, COALESCE(m.s, {MAXU}) AS s
+            FROM documents d CROSS JOIN mh_params p
+            LEFT JOIN mh_sigm m ON m.doc_id = d.doc_id AND m.k = p.k),
+        mh_band AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(k // 4 + 1 AS HUGEINT), list(s ORDER BY k)),
+                       (h, x) -> (h * {POLY_BASE} + x) % {M}) AS bucket
+            FROM mh_sig GROUP BY doc_id, k // 4),
+        mh_cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM mh_band a JOIN mh_band b
+                 ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        mh_est AS (
+            SELECT c.doc_a, c.doc_b,
+                   AVG(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END) AS e
+            FROM mh_cand c
+            JOIN mh_sig sa ON sa.doc_id = c.doc_a
+            JOIN mh_sig sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+            GROUP BY c.doc_a, c.doc_b)"""
+
+
+def _simhash_sql() -> str:
+    """Oracle for text.q_simhash — exact bit-for-bit replay: the token
+    MULTISET (per-occurrence, empty tokens dropped) from the shared
+    whitespace-split contract, poly_hash64 per token (the shared
+    _poly_hash_ctes replay), per-bit majority with ties-to-1
+    (``2*ones >= n``) via an embedded power-of-two literal table
+    (HUGEINT ``// v % 2`` — DuckDB's shift overflows at bit 63), zero
+    for token-less documents, 16-char lowercase hex."""
+    bitv = ", ".join(f"({b}, CAST('{1 << b}' AS HUGEINT))" for b in range(64))
+    return f"""
+        WITH {_WORDS_CTE},
+        tok AS (SELECT doc_id, ws[i] AS w
+                FROM words, UNNEST(range(1, len(ws) + 1)) AS u(i)
+                WHERE length(ws[i]) > 0),
+        {_poly_hash_ctes("th", "tok", "w")},
+        bitv(b, v) AS (VALUES {bitv}),
+        bits AS (SELECT doc_id, v,
+                        SUM(CASE WHEN (CAST(h AS HUGEINT) // v) % 2 = 1
+                                 THEN 1 ELSE 0 END) AS ones,
+                        COUNT(*) AS n
+                 FROM th CROSS JOIN bitv GROUP BY doc_id, v),
+        vals AS (SELECT doc_id,
+                        SUM(CASE WHEN 2 * ones >= n THEN v
+                                 ELSE CAST(0 AS HUGEINT) END) AS v
+                 FROM bits GROUP BY doc_id)
+        SELECT d.doc_id,
+               lpad(lower(hex(CAST(COALESCE(v.v, 0) AS UBIGINT))), 16, '0') AS simhash
+        FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id"""
 
 
 # shared-gram pair counts with the document-frequency cap: shared
@@ -889,7 +1025,24 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                (MIN(comp) = node) AS is_canonical
         FROM walk GROUP BY node""",
     ),
-    "minhash_dedup": (corpus.q_minhash_dedup, None),  # LSH-candidate keep-one dedup; recall pinned by tests
+    "minhash_dedup": (
+        corpus.q_minhash_dedup,
+        # keep-one over the SQL-replayed LSH candidate graph (est >= 0.5,
+        # q_minhash_lsh's default), same recursive-CTE CC as
+        # near_dup_clusters
+        f"""WITH RECURSIVE {_minhash_est_cte()},
+            pairs AS (SELECT doc_a, doc_b FROM mh_est WHERE e >= 0.5),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            walk(node, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+            )
+        SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id,
+               (MIN(comp) = node) AS is_canonical
+        FROM walk GROUP BY node""",
+    ),
     "ngram_jaccard_capped": (
         text.q_ngram_jaccard_capped,
         f"""WITH {_WORDS_CTE},{_CAPPED_SHARED_CTE}
@@ -914,8 +1067,14 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         FROM shared JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
         WHERE c >= 2""",
     ),
-    "minhash_lsh": (text.q_minhash_lsh, None),  # seeded LSH buckets not SQL-expressible
-    "simhash": (text.q_simhash, None),  # seeded bit-lane hash not SQL-expressible
+    "minhash_lsh": (
+        text.q_minhash_lsh,
+        f"""WITH {_minhash_est_cte()}
+        SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+               CAST(ROUND(e, 6) AS DOUBLE) AS est_jaccard
+        FROM mh_est WHERE e >= 0.5""",
+    ),
+    "simhash": (text.q_simhash, _simhash_sql()),
     "lang_id": (text.q_lang_id, _lang_id_sql()),
     # ---- similarity search / embeddings ----
     "ann_topk": (
@@ -1034,25 +1193,47 @@ _LAST_CHECKED: dict[str, int] = {
         ],
         3,
     ),
+    # round 4 (50 queries, CORRECTNESS_r04.json)
+    **dict.fromkeys(
+        [
+            "asof_forward", "check_rights", "ci_topk", "click_purchase_full",
+            "conv_stats", "conv_text", "customer_nation_region",
+            "customers_without_orders", "dedup_exact", "distinct_flags",
+            "distinct_parts_by_flag", "embed_dedup", "event_counts",
+            "filter_project", "fingerprint", "funnel", "global_rank",
+            "hourly_user_stats", "lag_lead", "lang_id", "minhash_dedup",
+            "minhash_lsh", "near_dup_clusters", "near_dup_clusters_capped",
+            "ngram_jaccard", "ngram_jaccard_capped", "order_lineitem_join",
+            "orders_by_segment", "pricing_summary", "props_extract",
+            "props_json", "quality_score", "range_join", "rule_dispatch",
+            "sample_hash", "session_stats", "sort_nulls_last",
+            "stratified_sample", "streaming_window", "token_stats",
+            "top_orders", "transcripts", "union_streams",
+            "urgent_order_revenue", "url_code", "users_except",
+            "users_intersect", "veristat", "window_ranks", "winnow_dedup",
+        ],
+        4,
+    ),
 }
 
 # Queries whose pipeline code or oracle SQL changed in the CURRENT
 # round — must face the gate regardless of staleness (rule 1 above).
-# Round 4: new SQL oracles (lang_id, winnow_dedup, ngram_jaccard_capped,
-# near_dup_clusters_capped), sharded read-through store (url_code),
-# int64-safe signature offsets (minhash_lsh and its dedup composition),
-# probe-free cluster assembly (near_dup_clusters, embed_dedup,
-# minhash_dedup).
+# Round 5: gram/token hashing switched to the SQL-replayable
+# poly_hash64 (exact new oracles for minhash_lsh, minhash_dedup,
+# simhash; hash-value change rides through the ngram_jaccard and
+# near_dup_clusters families though their outputs are hash-agnostic),
+# q_sample_hash gained the vectorized method parameter, and the
+# transcript derived-cache read path was rebuilt (per-file loads).
 _CHANGED_THIS_ROUND = [
-    "lang_id",
-    "winnow_dedup",
-    "ngram_jaccard_capped",
-    "near_dup_clusters_capped",
-    "url_code",
     "minhash_lsh",
     "minhash_dedup",
+    "simhash",
+    "ngram_jaccard",
+    "ngram_jaccard_capped",
     "near_dup_clusters",
-    "embed_dedup",
+    "near_dup_clusters_capped",
+    "sample_hash",
+    "transcripts",
 ]
 
 _DRIVER_WINDOW = 50
