@@ -147,6 +147,31 @@ def test_flagship_salted_equals_unsalted(ray_session, tmp_path_factory):
         "prepass_counts", "prepass_offsets", "main"}
 
 
+def test_session_offsets_bucketed_pass_parity(ray_session):
+    """The per-bucket count pass (shuffle by (conv, salt) with boundary
+    replicas) must produce EXACTLY the conv-whole pass's offsets and
+    bucket counts — including duplicate-ts tie-breaks and
+    exact-threshold gaps (the generator plants both)."""
+    import ray.data as rd
+
+    from turboxsl_ray.pipelines.flagship import session_offsets
+
+    left_tbl = synth_transcripts(
+        n_convs=40, mean_turns=12, seed=43, mega_frac=0.6, max_turns=500
+    )
+    left = rd.from_arrow(left_tbl)
+    # salt the mega conversation AND a few ordinary ones: buckets of 97
+    # rows don't align with session boundaries
+    cnt = left_tbl.to_pandas().groupby("conv_id").size()
+    plan = {c: 97 for c in cnt[cnt > 120].index}
+    assert len(plan) >= 2
+    whole = session_offsets(left, plan, GAP, 8)
+    bucketed = session_offsets(left, plan, GAP, 8, approx_rows=10**9)
+    assert bucketed == whole
+    # and the threshold gate itself: small approx_rows keeps conv-whole
+    assert session_offsets(left, plan, GAP, 8, approx_rows=5) == whole
+
+
 def test_no_temporal_leakage(ray_session, tmp_path_factory):
     """F3: poison every right-side row that is in the left row's future;
     no poison may surface in any feature."""

@@ -216,11 +216,22 @@ def _arrow_schema(ds: Dataset) -> pa.Schema:
     return base
 
 
+# Above this many (approximate) selected rows, session_offsets splits
+# even the 3-column count pass by (conv, salt-bucket) instead of
+# landing each salted conversation whole on one worker. 16M rows of
+# (string, ts, int) is well under 1 GiB per worker; beyond it, a single
+# pathological conversation would serialize the pre-pass.
+SESSION_OFFSETS_BUCKET_ROWS = 16_000_000
+
+
 def session_offsets(
     left: Dataset,
     plan: dict[str, int],
     session_gap_us: int,
     num_partitions: int,
+    *,
+    approx_rows: int | None = None,
+    bucket_pass_rows: int = SESSION_OFFSETS_BUCKET_ROWS,
 ) -> tuple[dict[tuple[str, int], int], dict[str, int]]:
     """Exclusive prefix sums of per-(conv, salt-bucket) new-session
     counts — the tiny pre-pass that makes bucket-local session ordinals
@@ -243,9 +254,17 @@ def session_offsets(
     replicated predecessor turn, which is exactly its global
     predecessor (lookback >= 1), so the flags agree row-for-row.
 
-    Each salted conversation lands whole on one worker here — fine for
-    a 3-column count pass; the per-bucket variant (shuffle by
-    (conv, salt)) is the fallback if even counting must be split."""
+    Each salted conversation lands whole on one worker by default —
+    fine for a 3-column count pass. When ``approx_rows`` (the floored
+    selected-set estimate from conv_counts) exceeds
+    ``bucket_pass_rows``, the pass shuffles by (conv, SALT) instead:
+    each row goes to its own bucket and every bucket-boundary row
+    (``(turn_idx+1) % bucket_rows == 0`` — turn_idx is dense per conv,
+    the same contract _salt_left's replication uses) is replicated
+    unowned to bucket+1, so a bucket's first owned row still gets its
+    gap from its true global predecessor and no conversation — however
+    pathological — serializes even the counting. Both paths produce
+    identical (offsets, plan_buckets); parity is pinned by pytest."""
     convs = set(plan)
     if not convs:
         return {}, {}
@@ -263,39 +282,107 @@ def session_offsets(
     small = map_partitions(
         left.select_columns(["conv_id", "ts", "turn_idx"]), project
     )
-    # tiny pre-pass: few shuffle partitions keep fixed startup cost down
-    parts = partition_by_conv(small, min(8, num_partitions), keys=["conv_id"])
+    _EMPTY = pa.table(
+        {"conv_id": pa.array([], pa.string()),
+         SALT_COL: pa.array([], pa.int32()),
+         "n_sessions": pa.array([], pa.int64())}
+    )
 
-    def per_block(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return pa.table(
-                {"conv_id": pa.array([], pa.string()),
-                 SALT_COL: pa.array([], pa.int32()),
-                 "n_sessions": pa.array([], pa.int64())}
+    if approx_rows is not None and approx_rows > bucket_pass_rows:
+
+        def add_salt(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            out_salt = pa.field(SALT_COL, pa.int32())
+            if n == 0:
+                return tbl.append_column(out_salt, pa.array([], pa.int32())) \
+                          .append_column(OWNED_COL, pa.array([], pa.bool_()))
+            conv_np = as_array(tbl["conv_id"]).to_pandas().to_numpy()
+            turn = as_array(tbl["turn_idx"]).to_numpy().astype(np.int64)
+            br = _map_plan(conv_np, plan)  # >0: only selected convs here
+            salt = (turn // br).astype(np.int32)
+            owned = tbl.append_column(out_salt, pa.array(salt)) \
+                       .append_column(OWNED_COL,
+                                      pa.array(np.ones(n, dtype=bool)))
+            boundary = (turn + 1) % br == 0
+            if not boundary.any():
+                return owned
+            rep = tbl.filter(pa.array(boundary))
+            rep = rep.append_column(
+                out_salt, pa.array((salt[boundary] + 1).astype(np.int32))
+            ).append_column(
+                OWNED_COL, pa.array(np.zeros(rep.num_rows, dtype=bool))
             )
-        tbl = tbl.sort_by(
-            [("conv_id", "ascending"), ("ts", "ascending"),
-             ("turn_idx", "ascending")]
+            return pa.concat_tables([owned, rep])
+
+        parts = partition_by_conv(
+            map_partitions(small, add_salt),
+            min(64, num_partitions),
+            keys=["conv_id", SALT_COL],
         )
-        starts = W.segment_starts_from_arrow(tbl["conv_id"])
-        ts_us = as_array(tbl["ts"].cast(pa.int64())).to_numpy()
-        new_s, _ = W.session_index(starts, ts_us, session_gap_us)
-        conv_np = as_array(tbl["conv_id"]).to_pandas().to_numpy()
-        turn = as_array(tbl["turn_idx"]).to_numpy().astype(np.int64)
-        bucket_rows = _map_plan(conv_np, plan)
-        bucket = turn // bucket_rows
-        seg_change = starts.copy()
-        seg_change[1:] |= bucket[1:] != bucket[:-1]
-        seg_id = np.cumsum(seg_change) - 1
-        sums = np.bincount(seg_id, weights=new_s).astype(np.int64)
-        first_rows = np.flatnonzero(seg_change)
-        return pa.table(
-            {
-                "conv_id": as_array(tbl["conv_id"]).take(pa.array(first_rows)),
-                SALT_COL: pa.array(bucket[first_rows].astype(np.int32)),
-                "n_sessions": pa.array(sums, type=pa.int64()),
-            }
-        )
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return _EMPTY
+            tbl = tbl.sort_by(
+                [("conv_id", "ascending"), (SALT_COL, "ascending"),
+                 ("ts", "ascending"), ("turn_idx", "ascending")]
+            )
+            starts = W.segment_starts_from_arrow(tbl["conv_id"])
+            salt = as_array(tbl[SALT_COL]).to_numpy()
+            starts[1:] |= salt[1:] != salt[:-1]
+            ts_us = as_array(tbl["ts"].cast(pa.int64())).to_numpy()
+            # a (conv, salt) segment's first row is the unowned
+            # replica (true global predecessor) except at salt 0,
+            # whose first row is the conversation's turn 0 — either
+            # way new_s over OWNED rows equals the conv-whole flags
+            new_s, _ = W.session_index(starts, ts_us, session_gap_us)
+            owned = as_array(tbl[OWNED_COL]).to_numpy(zero_copy_only=False)
+            seg_id = np.cumsum(starts) - 1
+            sums = np.bincount(seg_id, weights=new_s & owned).astype(np.int64)
+            n_owned = np.bincount(seg_id, weights=owned).astype(np.int64)
+            first_rows = np.flatnonzero(starts)
+            keep = n_owned > 0  # replica-only segments are not buckets
+            return pa.table(
+                {
+                    "conv_id": as_array(tbl["conv_id"]).take(
+                        pa.array(first_rows[keep])
+                    ),
+                    SALT_COL: pa.array(salt[first_rows[keep]].astype(np.int32)),
+                    "n_sessions": pa.array(sums[keep], type=pa.int64()),
+                }
+            )
+
+    else:
+        # tiny pre-pass: few shuffle partitions keep fixed startup cost
+        # down; whole conversations co-locate per worker
+        parts = partition_by_conv(small, min(8, num_partitions), keys=["conv_id"])
+
+        def per_block(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return _EMPTY
+            tbl = tbl.sort_by(
+                [("conv_id", "ascending"), ("ts", "ascending"),
+                 ("turn_idx", "ascending")]
+            )
+            starts = W.segment_starts_from_arrow(tbl["conv_id"])
+            ts_us = as_array(tbl["ts"].cast(pa.int64())).to_numpy()
+            new_s, _ = W.session_index(starts, ts_us, session_gap_us)
+            conv_np = as_array(tbl["conv_id"]).to_pandas().to_numpy()
+            turn = as_array(tbl["turn_idx"]).to_numpy().astype(np.int64)
+            bucket_rows = _map_plan(conv_np, plan)
+            bucket = turn // bucket_rows
+            seg_change = starts.copy()
+            seg_change[1:] |= bucket[1:] != bucket[:-1]
+            seg_id = np.cumsum(seg_change) - 1
+            sums = np.bincount(seg_id, weights=new_s).astype(np.int64)
+            first_rows = np.flatnonzero(seg_change)
+            return pa.table(
+                {
+                    "conv_id": as_array(tbl["conv_id"]).take(pa.array(first_rows)),
+                    SALT_COL: pa.array(bucket[first_rows].astype(np.int32)),
+                    "n_sessions": pa.array(sums, type=pa.int64()),
+                }
+            )
 
     rows = map_partitions(parts, per_block).take_all()
     per_conv: dict[str, list[tuple[int, int]]] = {}
@@ -364,7 +451,13 @@ def run_flagship(
     # exact pass over the selected conversations: session-ordinal
     # offsets AND the exact bucket count per conversation (so the right
     # side is replicated to every bucket the left side occupies)
-    offsets, plan_buckets = session_offsets(left, plan, cfg.session_gap_us, P)
+    offsets, plan_buckets = session_offsets(
+        left, plan, cfg.session_gap_us, P,
+        # floored estimate: only ever an undercount, so the bucketed
+        # pass can only kick in later than a perfect count would — the
+        # conv-whole pass stays correct at any size, just slower
+        approx_rows=sum(counts.values()),
+    )
     t_offsets = time.perf_counter() - t0 - t_counts
 
     left_salted = map_partitions(
