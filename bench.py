@@ -2,7 +2,7 @@
 
 Headline: the flagship fused as-of-join + window-feature pass
 (pipelines/flagship.py) over a deterministic Zipf-skewed synthetic
-transcript table (BASELINE.json input_hint shape, ~3.9M turns incl.
+transcript table (BASELINE.json input_hint shape, ~10M turns incl.
 one mega-conversation), reported as turns/sec. Plus per-query wall
 times for every registry pipeline over $GRAFT_SF_DIR (default
 /root/testdata/sf0.1).
