@@ -84,8 +84,7 @@ def test_rows_only_queries_run(ray_session):
     sqls = registry.oracle_sql()
     rows_only = [n for n in qs if n not in sqls]
     assert set(rows_only) == {
-        "ann_lsh_buckets", "ann_ivf",
-        "approx_distinct_parts", "image_stats",
+        "ann_lsh_buckets", "ann_ivf", "image_stats",
         "approx_quantiles", "heavy_hitters", "audio_stats",
     }
     for name in rows_only:

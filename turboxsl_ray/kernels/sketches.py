@@ -31,9 +31,25 @@ def _alpha(m: int) -> float:
 
 
 def hll_partial(values, p: int = 12) -> np.ndarray:
-    """Register array (uint8, len 2^p) for one block of values."""
+    """Register array (uint8, len 2^p) for one block of values.
+
+    Values are hashed as their DECIMAL-STRING rendering through
+    kernels/hashing.poly_hash64 — the SQL-replayable hash — so the
+    merged registers, and therefore the estimate itself, are exactly
+    reproducible in DuckDB (registry oracle for approx_distinct_parts;
+    same discipline as the minhash/simhash oracles). Duplicates cannot
+    change a register max, so the oracle may dedup first."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from turboxsl_ray.kernels.hashing import poly_hash64
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(np.asarray(values))
+    if not (pa.types.is_string(values.type) or pa.types.is_large_string(values.type)):
+        values = pc.cast(values, pa.string())
     m = 1 << p
-    h = stable_hash64(values)
+    h = poly_hash64(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)  # remaining 64-p bits at the top
     # rank = leading zeros of `rest` within (64-p) bits, + 1

@@ -910,9 +910,13 @@ def q_hourly_user_stats(sf_dir: str) -> Dataset:
 def q_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT l_partkey) via HyperLogLog: one
     register array per block (a few KB), elementwise-max merge on the
-    driver — no shuffle at all. Rows-only driver check; the error
-    bound (~1.04/sqrt(2^p) ≈ 1.6% at p=12) is pinned by tests against
-    the exact count."""
+    driver — no shuffle at all. The registers are keyed on the
+    SQL-replayable poly_hash64 of the decimal key string, so the
+    estimate carries an EXACT DuckDB oracle (registry) despite being
+    approximate; the error bound (~1.04/sqrt(2^p) ≈ 1.6% at p=12) is
+    additionally pinned by tests against the exact count. Half-up
+    rounding (floor(est + 0.5)) on both sides — Python round() is
+    banker's and SQL ROUND() is half-away, so neither is used."""
     from turboxsl_ray.kernels.sketches import hll_estimate, hll_merge, hll_partial
     from turboxsl_ray.stages.aggregate import collect_tables
 
@@ -926,7 +930,9 @@ def q_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
     for t in collect_tables(map_partitions(ds, partial)):
         blobs.extend(np.frombuffer(b, dtype=np.uint8) for b in t["regs"].to_pylist())
     est = hll_estimate(hll_merge(blobs)) if blobs else 0.0
-    return pd.DataFrame({"approx_n_parts": np.array([round(est)], np.int64)})
+    return pd.DataFrame(
+        {"approx_n_parts": np.array([np.floor(est + 0.5)], dtype=np.int64)}
+    )
 
 
 def sample_dataset(ds: Dataset, fraction: float, seed: int = 42) -> Dataset:

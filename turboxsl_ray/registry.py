@@ -237,6 +237,60 @@ def _simhash_sql() -> str:
         FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id"""
 
 
+def _hll_sql() -> str:
+    """Oracle for relational.q_approx_distinct_parts — an EXACT replay
+    of the approximate estimator (the winnow/minhash discipline applied
+    to a sketch): poly_hash64 of each DISTINCT l_partkey's decimal
+    string (duplicates cannot change a register max, so dedup-first is
+    identical), register index = top p bits, rank = leading-zero count
+    of the remaining 52 bits + 1 (via the power-of-two table — MIN set
+    bit position from the top), per-register MAX, then the standard
+    alpha_m * m^2 / sum(2^-M) estimate with the linear-counting
+    small-range branch. alpha*m^2 is precomputed in numpy float64 and
+    embedded so both sides do the identical double arithmetic;
+    2^-rank terms come from the exact power table (no libm pow);
+    half-up rounding on both sides (Python round() is banker's, SQL
+    ROUND() is half-away — neither is used)."""
+    import numpy as _np
+
+    from turboxsl_ray.kernels import sketches
+
+    P = 12
+    M_REG = 1 << P
+    NBITS = 64 - P
+    alpha_mm = float(_np.float64(sketches._alpha(M_REG)) * M_REG * M_REG)
+    bitv = ", ".join(f"({b}, CAST('{1 << b}' AS HUGEINT))" for b in range(64))
+    return f"""
+        WITH vals AS (
+            SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS doc_id FROM lineitem),
+        v2 AS (SELECT doc_id, doc_id AS s FROM vals),
+        {_poly_hash_ctes("hh", "v2", "s")},
+        hx AS (SELECT CAST(h AS HUGEINT) AS h FROM hh),
+        parts AS (SELECT h // CAST('{1 << NBITS}' AS HUGEINT) AS idx,
+                         (h * {1 << P}) % {_M64} AS rest FROM hx),
+        bitv(b, v) AS (VALUES {bitv}),
+        ranks AS (SELECT idx,
+                         COALESCE(MIN(CASE WHEN (rest // bv.v) % 2 = 1
+                                           THEN 63 - bv.b + 1 END),
+                                  {NBITS + 1}) AS rank
+                  FROM parts LEFT JOIN bitv bv
+                       ON bv.b >= {P} AND (rest // bv.v) % 2 = 1
+                  GROUP BY idx, rest),
+        regs AS (SELECT idx, MAX(rank) AS r FROM ranks GROUP BY idx),
+        agg AS (SELECT SUM(1.0 / CAST(bv.v AS DOUBLE)) AS sum_present,
+                       COUNT(*) AS n_present
+                FROM regs JOIN bitv bv ON bv.b = regs.r),
+        est0 AS (SELECT {alpha_mm!r} /
+                        (sum_present + CAST({M_REG} - n_present AS DOUBLE)) AS e,
+                        {M_REG} - n_present AS zeros
+                 FROM agg)
+        SELECT CAST(FLOOR(CASE WHEN e <= 2.5 * {M_REG} AND zeros > 0
+                               THEN CAST({M_REG} AS DOUBLE)
+                                    * ln(CAST({M_REG} AS DOUBLE) / zeros)
+                               ELSE e END + 0.5) AS BIGINT) AS approx_n_parts
+        FROM est0"""
+
+
 # shared-gram pair counts with the document-frequency cap: shared
 # counts use only grams with df <= cap; per-doc sizes stay UNCAPPED
 # (exactly text._emit_gram_pairs semantics under df_cap)
@@ -828,7 +882,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
                   CAST(ROUND(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90_value
            FROM events GROUP BY event_type""",
     ),
-    "approx_distinct_parts": (relational.q_approx_distinct_parts, None),  # sketch, error pinned by tests
+    "approx_distinct_parts": (relational.q_approx_distinct_parts, _hll_sql()),
     "approx_quantiles": (relational.q_approx_quantiles, None),  # histogram sketch, error bound pinned by tests
     "heavy_hitters": (relational.q_heavy_hitters, None),  # count-min + candidates, containment pinned by tests
     "explode_tokens": (
@@ -1225,6 +1279,7 @@ _LAST_CHECKED: dict[str, int] = {
 # q_sample_hash gained the vectorized method parameter, and the
 # transcript derived-cache read path was rebuilt (per-file loads).
 _CHANGED_THIS_ROUND = [
+    "approx_distinct_parts",
     "minhash_lsh",
     "minhash_dedup",
     "simhash",
